@@ -1,0 +1,247 @@
+"""Typed configuration tree for the whole SLAM engine.
+
+Replaces the reference's three ad-hoc parameter sets of ~50 mutable globals
+filled from OpenCV FileStorage YAML (`mono_lidar_mapping/src/parameter.cc:76-199`,
+`include/loop_parameter.h:33-60`, `include/mapping_parameter.h:28-40`) with one
+frozen dataclass tree.  Field defaults mirror the reference's KITTI-00 config
+(`mono_lidar_mapping/config/kitti_config_00.yaml`) where a counterpart exists.
+
+Everything here is static Python — configs select trace-time specialization
+(shapes, capacities, iteration counts) for the jitted step functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class LidarConfig:
+    """LiDAR scan layout + odometry (the capability lmono outsources to A-LOAM)."""
+
+    num_rings: int = 64               # HDL-64 on KITTI
+    horiz_res: int = 1024             # range-image width (points per ring, fixed)
+    min_range: float = 1.0
+    max_range: float = 80.0
+    vertical_fov_deg: Tuple[float, float] = (-24.9, 2.0)   # KITTI HDL-64E
+
+    # feature extraction (curvature-based edge/planar, per ring sector)
+    curvature_half_window: int = 5    # +/- points used in curvature sum
+    num_sectors: int = 6              # split each ring into sectors for even coverage
+    edges_per_sector: int = 3
+    planars_per_sector: int = 8
+    edge_curvature_min: float = 0.2
+    planar_curvature_max: float = 0.1
+
+    # registration
+    max_edge_features: int = 1536     # fixed capacity (masked)
+    max_planar_features: int = 4096
+    scan_to_scan_iters: int = 8
+    scan_to_map_iters: int = 8
+    gn_damping: float = 1e-4
+    huber_delta: float = 0.3          # meters, robust loss on point residuals
+    corr_max_dist: float = 1.5        # correspondence gating distance (m)
+
+    # local map (fixed-capacity point banks, voxel-deduplicated)
+    map_edge_capacity: int = 32768
+    map_planar_capacity: int = 65536
+    map_voxel_size: float = 0.4
+    map_keep_radius: float = 120.0    # drop map points farther than this from pose
+    knn_k: int = 5
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Camera intrinsics; KITTI 00 gray left by default (kitti00_cam.yaml)."""
+
+    model: str = "pinhole"            # pinhole|pinhole_full|mei|equidistant|scaramuzza
+    width: int = 1241
+    height: int = 376
+    fx: float = 718.856
+    fy: float = 718.856
+    cx: float = 607.1928
+    cy: float = 185.2157
+    distortion: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
+    extra: Tuple[float, ...] = ()     # model-specific extra params
+
+
+@dataclass(frozen=True)
+class TrackerConfig:
+    """Monocular KLT front-end (reference FeatureTracker.cc)."""
+
+    max_features: int = 150           # MAX_CNT (FeatureTracker ctor)
+    min_dist: int = 30                # NMS radius between features (min_dist)
+    pyramid_levels: int = 4
+    lk_patch: int = 21                # window size (odd)
+    lk_iters: int = 10
+    lk_eps: float = 0.01
+    fb_threshold: float = 0.5         # forward-backward check (px)
+    f_threshold: float = 1.0          # RANSAC fundamental Sampson gate (px)
+    f_ransac_iters: int = 64
+    min_track_quality: float = 1e-3   # Shi-Tomasi min eigenvalue (relative)
+    border_margin: int = 8
+
+
+@dataclass(frozen=True)
+class EstimatorConfig:
+    """Sliding-window fusion (reference Estimator.cc / kitti_config_00.yaml)."""
+
+    window_size: int = 10             # WINDOW_SIZE (parameter.h:51)
+    max_tracks: int = 160             # fixed-capacity feature slots in window
+    focal_length: float = 460.0       # FOCAL_LENGTH virtual focal (parameter.h:50)
+    feature_threshold: float = 10.0   # keyframe parallax gate (px, virtual focal)
+    min_parallax_depth: float = 0.04  # triangulation parallax gate
+    estimate_laser: int = 1           # 0 fixed T_LC | 1 refine | 2 calibrate from scratch
+    fine_times: int = 10              # extrinsic refinements before prior freeze
+    prior_t: float = 1000.0
+    prior_r: float = 1000.0
+    laser_w: float = 2.0              # laser factor weight (laser_w)
+    factor_weight: float = 1000.0     # global factor weight scale
+    outlier_reproj_px: float = 5.0    # outlier_t gate, px at virtual focal
+    min_track_cnt: int = 4            # track_cnt: min obs before use
+    gn_iters: int = 8                 # window solver iterations (<=30 in ref)
+    gn_damping_init: float = 1e-4
+    cauchy_c: float = 1.0             # robust loss scale on reprojection (pixels/f)
+    keyframe_parallax_frames: int = 2 # frames back used in parallax computation
+    delay_time: float = 0.03          # image<->laser-odometry pairing tolerance (s)
+    static_motion_eps: float = 0.02   # static-scene gate on laser translation (m)
+    depth_min: float = 0.1
+    depth_default: float = 5.0
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    """Loop detection + pose graph (kitti_loop_config_00.yaml + LoopDetector.cc)."""
+
+    db_capacity: int = 4096           # keyframe descriptor bank capacity
+    brief_bits: int = 256
+    max_keypoints: int = 300          # FAST+BRIEF keypoints per keyframe image
+    window_points: int = 160          # window landmarks carried per keyframe
+    search_gap: int = 100             # LOOP_SEARCH_GAP: exclude recent frames
+    search_time: float = 2.0          # LOOP_SEARCH_TIME
+    score_best_min: float = 0.05      # DBoW-style top-score gate
+    score_accept: float = 0.015       # acceptance gate on candidate score
+    min_brief_matches: int = 25       # MIN_BRIEF_LOOP_NUM
+    min_pnp_inliers: int = 5          # MIN_PNP_LOOP_NUM
+    hamming_max: int = 80             # descriptor match gate
+    pnp_ransac_iters: int = 128
+    pnp_reproj_px: float = 10.0
+    angle_threshold_deg: float = 30.0 # geometric gate (ANGLE_THRESHOLD)
+    trans_threshold: float = 20.0     # geometric gate (TRANS_THRESHOLD, m)
+    skip_time: float = 0.2            # SKIP_TIME between processed keyframes
+    skip_dis: float = 0.5             # SKIP_DIS min travel between keyframes
+    vocab_dim: int = 128              # global-descriptor codebook size
+    posegraph_iters: int = 20
+    posegraph_4dof: bool = True
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    """Dense colored mapping (kitti_map_config_00.yaml + Map_Builder.cc)."""
+
+    filter_size: int = 11             # morphological kernel (filter_size)
+    kernel_type: str = "cross"        # CROSS|DIAMOND|FULL
+    blur_type: str = "bilateral"      # bilateral|gaussian
+    blur_kernel: int = 5
+    depth_min: float = 1.0
+    depth_max: float = 80.0
+    crop_height: float = 3.0          # drop points above camera by this much (m)
+    map_voxel: float = 0.2            # world map voxel dedup size
+    map_capacity: int = 1 << 21       # world colored-point capacity per shard
+    flush_every: int = 10             # PLY snapshot cadence (frames)
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Multi-device layout (keyframe/time and map/space sharding)."""
+
+    mesh_axes: Tuple[str, ...] = ("kf",)
+    kf_shards: int = 1                # devices along the keyframe/time axis
+    map_shards: int = 1               # devices along the map/space axis
+
+
+@dataclass(frozen=True)
+class SystemConfig:
+    lidar: LidarConfig = field(default_factory=LidarConfig)
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    estimator: EstimatorConfig = field(default_factory=EstimatorConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    # T_LC: camera-from-laser extrinsic seed, 4x4 row-major (kitti_config_00.yaml
+    # `laser_to_camera0`); None => identity (estimate_laser==2 calibrates it).
+    laser_to_camera: Optional[Tuple[float, ...]] = None
+
+    def replace(self, **kw) -> "SystemConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "SystemConfig":
+        raw = json.loads(s)
+
+        def build(cls, d):
+            kw = {}
+            for f in dataclasses.fields(cls):
+                if f.name not in d:
+                    continue
+                v = d[f.name]
+                if dataclasses.is_dataclass(f.type) or f.name in _SUBCONFIGS:
+                    kw[f.name] = build(_SUBCONFIGS[f.name], v)
+                else:
+                    kw[f.name] = tuple(v) if isinstance(v, list) else v
+            return cls(**kw)
+
+        return build(SystemConfig, raw)
+
+
+_SUBCONFIGS = {
+    "lidar": LidarConfig,
+    "camera": CameraConfig,
+    "tracker": TrackerConfig,
+    "estimator": EstimatorConfig,
+    "loop": LoopConfig,
+    "mapping": MappingConfig,
+    "parallel": ParallelConfig,
+}
+
+
+# KITTI 00 ground-truth extrinsic (camera-from-laser), from the reference
+# config `kitti_config_00.yaml:23-30` — used to seed estimate_laser∈{0,1}
+# runs and as the convergence target for estimate_laser==2 calibration tests.
+KITTI00_T_LC = (
+    4.27682532e-04, -7.21067536e-03, 9.99973911e-01, 0.28877894,
+    -9.99967229e-01, 8.08118081e-03, 4.85951966e-04, -0.0554166,
+    -8.08447402e-03, -9.99941349e-01, -7.20698288e-03, 0.04542653,
+    0.0, 0.0, 0.0, 1.0,
+)
+
+
+def kitti_config(sequence: int = 0) -> SystemConfig:
+    """Preset mirroring the reference's per-sequence KITTI configs."""
+    cam = CameraConfig()
+    if sequence in (1, 2):  # KITTI 01/02 use the other calibration set
+        cam = CameraConfig(width=1241, height=376)
+    return SystemConfig(camera=cam, laser_to_camera=KITTI00_T_LC)
+
+
+def synthetic_config() -> SystemConfig:
+    """Small-world preset used by tests and the synthetic benchmark."""
+    return SystemConfig(
+        lidar=LidarConfig(
+            num_rings=32, horiz_res=512, max_range=60.0,
+            max_edge_features=512, max_planar_features=1024,
+            map_edge_capacity=8192, map_planar_capacity=16384,
+        ),
+        camera=CameraConfig(width=512, height=256, fx=256.0, fy=256.0,
+                            cx=256.0, cy=128.0),
+        tracker=TrackerConfig(max_features=96, min_dist=16, pyramid_levels=3),
+        estimator=EstimatorConfig(max_tracks=96),
+        loop=LoopConfig(db_capacity=512, max_keypoints=128, window_points=96),
+    )
