@@ -30,7 +30,7 @@ class LidarConfig:
 
     # feature extraction (curvature-based edge/planar, per ring sector)
     curvature_half_window: int = 5    # +/- points used in curvature sum
-    num_sectors: int = 6              # split each ring into sectors for even coverage
+    num_sectors: int = 8              # split each ring into sectors (must divide horiz_res)
     edges_per_sector: int = 3
     planars_per_sector: int = 8
     edge_curvature_min: float = 0.2

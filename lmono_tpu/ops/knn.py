@@ -1,0 +1,66 @@
+"""Streaming brute-force KNN over fixed-capacity masked point banks.
+
+TPU-native replacement for the reference stack's PCL KD-trees (used by
+A-LOAM's correspondence search): instead of a pointer-chasing tree, distances
+are computed as dense (Q, chunk) blocks on the VPU/MXU and reduced on the fly
+with a running top-k — O(Q·M) FLOPs but perfectly regular, fully fused by
+XLA, and far faster on TPU than any tree for the M ≤ 100k banks SLAM uses.
+
+`knn` is the reference implementation; `lmono_tpu.ops.pallas.knn` provides a
+hand-tiled Pallas kernel for the hot path with identical semantics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_INF = 1e12
+
+
+def knn(query: jax.Array, target: jax.Array, target_mask: jax.Array,
+        k: int, chunk: int = 4096) -> tuple[jax.Array, jax.Array]:
+    """k nearest targets for each query point.
+
+    query: (Q, 3); target: (M, 3); target_mask: (M,) bool.
+    Returns (dists2 (Q, k), idx (Q, k) int32).  Invalid targets never match;
+    if fewer than k valid targets exist, trailing entries have dist2=_INF.
+    """
+    Q = query.shape[0]
+    M = target.shape[0]
+    chunk = min(chunk, M)
+    n_chunks = (M + chunk - 1) // chunk
+    pad = n_chunks * chunk - M
+    tgt = jnp.concatenate([target, jnp.zeros((pad, 3), target.dtype)])
+    tmask = jnp.concatenate([target_mask, jnp.zeros(pad, bool)])
+    tgt = tgt.reshape(n_chunks, chunk, 3)
+    tmask = tmask.reshape(n_chunks, chunk)
+
+    q2 = jnp.sum(query * query, axis=-1, keepdims=True)  # (Q,1)
+
+    def body(carry, inp):
+        best_d, best_i = carry              # (Q,k), (Q,k)
+        t, m, base = inp                    # (chunk,3), (chunk,), ()
+        t2 = jnp.sum(t * t, axis=-1)        # (chunk,)
+        # ||q-t||² = q² - 2 q·t + t²  (MXU-friendly inner product)
+        d2 = q2 - 2.0 * (query @ t.T) + t2[None, :]
+        d2 = jnp.where(m[None, :], d2, _INF)
+        idx = base + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        # merge with running best and re-take top-k smallest
+        cat_d = jnp.concatenate([best_d, d2], axis=1)
+        cat_i = jnp.concatenate([best_i, idx], axis=1)
+        neg_d, sel = jax.lax.top_k(-cat_d, k)
+        return (-neg_d, jnp.take_along_axis(cat_i, sel, axis=1)), None
+
+    init = (jnp.full((Q, k), _INF, query.dtype),
+            jnp.zeros((Q, k), jnp.int32))
+    bases = (jnp.arange(n_chunks) * chunk).astype(jnp.int32)
+    (best_d, best_i), _ = jax.lax.scan(body, init, (tgt, tmask, bases))
+    return best_d, best_i
+
+
+def nn1(query: jax.Array, target: jax.Array, target_mask: jax.Array,
+        chunk: int = 4096) -> tuple[jax.Array, jax.Array]:
+    """Single nearest neighbor (streamlined k=1 case)."""
+    d, i = knn(query, target, target_mask, 1, chunk)
+    return d[:, 0], i[:, 0]

@@ -1,0 +1,80 @@
+"""Fixed-capacity voxel-deduplicated point banks (the TPU 'KD-tree + voxel
+filter' replacement).
+
+The reference stack's local map lives in PCL KD-trees rebuilt per frame by
+A-LOAM; here the map is a fixed-shape (capacity, 3) masked array.  Updates
+are pure array ops: exact 30-bit voxel keys, a lexsort-based first-occupant
+dedup, radius-based eviction, and a stable compaction — all jit-safe, no
+host interaction, O(N log N) on the VPU.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PointBank(NamedTuple):
+    points: jax.Array  # (capacity, 3) world frame
+    mask: jax.Array    # (capacity,) bool
+
+    @staticmethod
+    def empty(capacity: int, dtype=jnp.float32) -> "PointBank":
+        return PointBank(jnp.zeros((capacity, 3), dtype),
+                         jnp.zeros((capacity,), bool))
+
+    @property
+    def capacity(self) -> int:
+        return self.points.shape[0]
+
+
+def _voxel_keys(pts: jax.Array, voxel: float, origin: jax.Array) -> jax.Array:
+    """Exact packed voxel id: 10 bits per axis around `origin` (int32).
+
+    Points outside the ±511-voxel cube clamp to the boundary cell — they are
+    evicted by the radius gate anyway for sane voxel/radius configs.
+    """
+    ij = jnp.floor((pts - origin) / voxel).astype(jnp.int32)
+    ij = jnp.clip(ij + 512, 0, 1023)
+    return (ij[:, 0] << 20) | (ij[:, 1] << 10) | ij[:, 2]
+
+
+def bank_update(bank: PointBank, new_pts: jax.Array, new_mask: jax.Array,
+                voxel: float, center: jax.Array,
+                keep_radius: float) -> PointBank:
+    """Merge new points into the bank with voxel dedup + radius eviction.
+
+    Existing bank points win their voxel (map stability, as LOAM's voxel
+    filter effectively does); the result is compacted to the front and
+    truncated at capacity, preferring older points.
+    """
+    cap = bank.capacity
+    pts = jnp.concatenate([bank.points, new_pts], axis=0)
+    mask = jnp.concatenate([bank.mask, new_mask], axis=0)
+    # radius eviction relative to the current pose
+    d2 = jnp.sum((pts - center) ** 2, axis=-1)
+    mask = mask & (d2 < keep_radius * keep_radius)
+
+    keys = _voxel_keys(pts, voxel, center)
+    # invalid entries get a sentinel key that sorts last
+    keys = jnp.where(mask, keys, jnp.int32(2 ** 30))
+    # stable sort by key keeps bank-before-new within equal keys
+    order = jnp.argsort(keys, stable=True)
+    k_sorted = keys[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), k_sorted[1:] != k_sorted[:-1]])
+    keep = first & (k_sorted < 2 ** 30)
+    # map the keep decision back to original (age) order so that capacity
+    # truncation drops the newest points, not a spatial chunk of key space
+    n = pts.shape[0]
+    keep_orig = jnp.zeros((n,), bool).at[order].set(keep)
+    rank = jnp.cumsum(keep_orig) - 1
+    dest = jnp.where(keep_orig, rank, n - 1)
+    out_pts = jnp.zeros((n, 3), pts.dtype).at[dest].set(pts, mode="drop")
+    out_msk = jnp.zeros((n,), bool).at[dest].set(keep_orig, mode="drop")
+    # the overflow slot n-1 collects all dropped writes; gate by true count
+    n_keep = jnp.sum(keep_orig)
+    out_msk = out_msk & (jnp.arange(n) < n_keep)
+    return PointBank(out_pts[:cap], out_msk[:cap])
