@@ -7,6 +7,12 @@ Usage:
     python examples/run_lidar_odometry.py [--frames N] [--kitti-root DIR --seq 0]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import time
 

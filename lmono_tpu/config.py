@@ -93,7 +93,8 @@ class EstimatorConfig:
     max_tracks: int = 160             # fixed-capacity feature slots in window
     focal_length: float = 460.0       # FOCAL_LENGTH virtual focal (parameter.h:50)
     feature_threshold: float = 10.0   # keyframe parallax gate (px, virtual focal)
-    min_parallax_depth: float = 0.04  # triangulation parallax gate
+    min_parallax_depth: float = 0.008 # triangulation ray-spread gate (rad);
+                                      # forward motion yields ~1° at 50 m
     estimate_laser: int = 1           # 0 fixed T_LC | 1 refine | 2 calibrate from scratch
     fine_times: int = 10              # extrinsic refinements before prior freeze
     prior_t: float = 1000.0
@@ -103,7 +104,7 @@ class EstimatorConfig:
     outlier_reproj_px: float = 5.0    # outlier_t gate, px at virtual focal
     min_track_cnt: int = 4            # track_cnt: min obs before use
     gn_iters: int = 8                 # window solver iterations (<=30 in ref)
-    gn_damping_init: float = 1e-4
+    gn_damping_init: float = 1e-6     # LM lambda on the (large) scaled diag
     cauchy_c: float = 1.0             # robust loss scale on reprojection (pixels/f)
     keyframe_parallax_frames: int = 2 # frames back used in parallax computation
     delay_time: float = 0.03          # image<->laser-odometry pairing tolerance (s)

@@ -1,0 +1,160 @@
+"""Loop detection: place recognition + BRIEF matching + PnP verification.
+
+Rebuild of the reference loop node (`src/loop_detection_node.cc` +
+`src/loop_detection/KeyFrame.cc::findConnection` :354-691): a keyframe's
+window landmarks (3D, with descriptors) are matched against an old
+keyframe's keypoints by Hamming distance, verified with PnP-RANSAC, and
+gated geometrically (ANGLE_THRESHOLD/TRANS_THRESHOLD).  The result is a
+relative-pose loop edge for the pose graph plus the drift correction the
+estimator applies (`Estimator::loopCorrection`, Estimator.cc:309-365).
+
+Skip gates (SKIP_TIME / SKIP_DIS), score gates (0.05 / 0.015) and inlier
+minima (MIN_BRIEF_LOOP_NUM / MIN_PNP_LOOP_NUM) follow the reference configs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lmono_tpu.config import LoopConfig
+from lmono_tpu.loop.keyframe_db import KeyframeDB, db_add, db_query
+from lmono_tpu.ops.brief import brief_describe, make_codebook, match_descriptors
+from lmono_tpu.ops.corners import detect_grid
+from lmono_tpu.ops.ransac import ransac_pnp
+from lmono_tpu.utils.lie import Pose, boxminus, mat_to_ypr, quat_to_mat
+
+
+class LoopResult(NamedTuple):
+    found: jax.Array        # () bool
+    old_slot: jax.Array     # () int32 db slot of matched keyframe
+    old_seq: jax.Array      # () int32 global index of matched keyframe
+    rel_t: jax.Array        # (3,) T_old_cur translation (camera frames)
+    rel_q: jax.Array        # (4,)
+    n_matches: jax.Array    # () int32 BRIEF matches
+    n_inliers: jax.Array    # () int32 PnP inliers
+    score: jax.Array        # () f32 place-recognition score
+
+
+def detect_and_verify(db: KeyframeDB, codebook: jax.Array, cfg: LoopConfig,
+                      *, desc, kp_mask, win_desc, win_pts, win_norm, win_mask,
+                      cur_pose: Pose, cur_seq, cur_time,
+                      key: jax.Array) -> LoopResult:
+    """Query the DB with the current keyframe and geometrically verify the
+    best acceptable candidate."""
+    top_s, top_i, top_ok = db_query(db, codebook, desc, kp_mask, cur_seq,
+                                    cur_time, cfg, top_k=4)
+    # reference gating: best must clear 0.05; accept candidates > 0.015,
+    # earliest (smallest seq) among them (LoopDetector.cc:220-257)
+    gate = top_ok & (top_s > cfg.score_accept) & (top_s[0] > cfg.score_best_min)
+    seqs = jnp.where(gate, db.seq[top_i], jnp.iinfo(jnp.int32).max)
+    pick = jnp.argmin(seqs)
+    old_slot = top_i[pick]
+    any_cand = jnp.any(gate)
+
+    # ---- BRIEF matching: current window landmarks ↔ old keyframe keypoints
+    idx_b, m_ok = match_descriptors(
+        win_desc, win_mask, db.desc[old_slot], db.kp_mask[old_slot],
+        max_hamming=cfg.hamming_max)
+    n_matches = jnp.sum(m_ok)
+
+    # ---- PnP: current 3D world points vs old keyframe's 2D normalized obs
+    obs_old = db.kp_norm[old_slot][idx_b]                # (Kw, 2)
+    pose_pnp, inl, pnp_ok = ransac_pnp(
+        win_pts, obs_old, m_ok, key,
+        iters=cfg.pnp_ransac_iters,
+        thresh=(cfg.pnp_reproj_px / 460.0) ** 2,
+        min_inliers=cfg.min_pnp_inliers)
+    n_inliers = jnp.sum(inl)
+
+    # pose_pnp: oldcam-from-world ⇒ the *drift-corrected* current-cam pose
+    # in the old map is T_w_cur' = T_w_old ∘ T_old_cur, with
+    # T_old_cur = pose_pnp ∘ T_w_cur (cur expressed through old geometry).
+    T_old_cur_t = pose_pnp.apply(cur_pose.t)
+    T_old_cur_q = Pose(pose_pnp.t, pose_pnp.q).compose(cur_pose).q
+    rel = Pose(T_old_cur_t, T_old_cur_q)
+
+    # geometric gate on the revisit distance: |Δyaw| < ANGLE_THRESHOLD,
+    # |Δt| < TRANS_THRESHOLD (KeyFrame.cc:588)
+    ypr = mat_to_ypr(quat_to_mat(rel.q))
+    ang_ok = jnp.abs(jnp.rad2deg(ypr[0])) < cfg.angle_threshold_deg
+    trans_ok = jnp.linalg.norm(rel.t) < cfg.trans_threshold
+
+    found = (any_cand & (n_matches >= cfg.min_brief_matches) & pnp_ok
+             & ang_ok & trans_ok)
+    return LoopResult(
+        found=found,
+        old_slot=old_slot.astype(jnp.int32),
+        old_seq=db.seq[old_slot],
+        rel_t=rel.t, rel_q=rel.q,
+        n_matches=n_matches.astype(jnp.int32),
+        n_inliers=n_inliers.astype(jnp.int32),
+        score=top_s[pick],
+    )
+
+
+class LoopDetector:
+    """Host-side wrapper: keyframe ingestion with skip gates + jitted detect.
+
+    Mirrors the reference loop node's flow (`loop_detection_node.cc:147-297`):
+    keyframes are only processed every SKIP_TIME seconds / SKIP_DIS meters.
+    """
+
+    def __init__(self, cfg: LoopConfig, image_shape: tuple[int, int],
+                 focal: float = 460.0):
+        self.cfg = cfg
+        self.codebook = make_codebook(cfg.brief_bits, cfg.vocab_dim)
+        self.db = KeyframeDB.empty(cfg)
+        self._last_time = -1e9
+        self._last_pos = None
+        self._key = jax.random.PRNGKey(7)
+
+        H, W = image_shape
+
+        def prep(image, win_uv, win_mask):
+            kp_uv, kp_ok = detect_grid(
+                image, max(8, H // 24), cfg.max_keypoints,
+                jnp.zeros((1, 2)), jnp.zeros((1,), bool))
+            desc = brief_describe(image, kp_uv, kp_ok)
+            wdesc = brief_describe(image, win_uv, win_mask)
+            return kp_uv, kp_ok, desc, wdesc
+
+        self._prep = jax.jit(prep)
+        self._detect = jax.jit(
+            lambda db, desc, kp_mask, wdesc, wpts, wnorm, wmask, ct, cq, seq,
+            time, k: detect_and_verify(
+                db, self.codebook, cfg,
+                desc=desc, kp_mask=kp_mask, win_desc=wdesc, win_pts=wpts,
+                win_norm=wnorm, win_mask=wmask,
+                cur_pose=Pose(ct, cq), cur_seq=seq, cur_time=time, key=k))
+        self._add = jax.jit(
+            lambda db, **kw: db_add(db, self.codebook, **kw))
+
+    def process_keyframe(self, image, cam, win_uv, win_norm, win_pts,
+                         win_mask, cam_pose: Pose, time: float):
+        """Returns LoopResult or None (skip-gated)."""
+        import numpy as np
+
+        pos = np.asarray(cam_pose.t)
+        if time - self._last_time < self.cfg.skip_time:
+            return None
+        if self._last_pos is not None and \
+                np.linalg.norm(pos - self._last_pos) < self.cfg.skip_dis:
+            return None
+        self._last_time, self._last_pos = time, pos
+
+        kp_uv, kp_ok, desc, wdesc = self._prep(image, win_uv, win_mask)
+        kp_norm = cam.lift_to_normalized(kp_uv)
+        self._key, k = jax.random.split(self._key)
+        seq = self.db.count
+        res = self._detect(self.db, desc, kp_ok, wdesc, win_pts, win_norm,
+                           win_mask, cam_pose.t, cam_pose.q, seq,
+                           jnp.float32(time), k)
+        self.db = self._add(
+            self.db, desc=desc, kp_norm=kp_norm, kp_mask=kp_ok,
+            win_desc=wdesc, win_pts=win_pts, win_norm=win_norm,
+            win_mask=win_mask, t=cam_pose.t, q=cam_pose.q,
+            time=jnp.float32(time))
+        return res

@@ -1,0 +1,98 @@
+"""Fixed-capacity keyframe database for place recognition.
+
+Replaces the reference's DBoW2 database + std::list<KeyFrame*>
+(`src/loop_detection/LoopDetector.cc:32-150`): keyframes live in fixed
+arrays; querying is one masked cosine matmul over the global-descriptor
+bank followed by top-k — O(N·dim) on the MXU, no inverted index.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lmono_tpu.config import LoopConfig
+from lmono_tpu.ops.brief import global_descriptor, make_codebook
+
+
+class KeyframeDB(NamedTuple):
+    gdesc: jax.Array       # (C, dim) global descriptors (L2-normalized)
+    desc: jax.Array        # (C, K, B) ±1 BRIEF descriptors of keypoints
+    kp_norm: jax.Array     # (C, K, 2) keypoint normalized coords
+    kp_mask: jax.Array     # (C, K)
+    win_desc: jax.Array    # (C, Kw, B) descriptors of window landmarks
+    win_pts: jax.Array     # (C, Kw, 3) world 3D points of window landmarks
+    win_norm: jax.Array    # (C, Kw, 2) their normalized obs in this keyframe
+    win_mask: jax.Array    # (C, Kw)
+    t: jax.Array           # (C, 3) keyframe pose (world-from-camera)
+    q: jax.Array           # (C, 4)
+    time: jax.Array        # (C,) timestamps
+    seq: jax.Array         # (C,) global keyframe index
+    valid: jax.Array       # (C,)
+    count: jax.Array       # () int32 — next write slot (ring)
+
+    @staticmethod
+    def empty(cfg: LoopConfig) -> "KeyframeDB":
+        C, K, Kw, B = (cfg.db_capacity, cfg.max_keypoints,
+                       cfg.window_points, cfg.brief_bits)
+        return KeyframeDB(
+            gdesc=jnp.zeros((C, cfg.vocab_dim), jnp.float32),
+            desc=jnp.ones((C, K, B), jnp.int8),
+            kp_norm=jnp.zeros((C, K, 2), jnp.float32),
+            kp_mask=jnp.zeros((C, K), bool),
+            win_desc=jnp.ones((C, Kw, B), jnp.int8),
+            win_pts=jnp.zeros((C, Kw, 3), jnp.float32),
+            win_norm=jnp.zeros((C, Kw, 2), jnp.float32),
+            win_mask=jnp.zeros((C, Kw), bool),
+            t=jnp.zeros((C, 3), jnp.float32),
+            q=jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (C, 1)),
+            time=jnp.zeros((C,), jnp.float32),
+            seq=jnp.zeros((C,), jnp.int32),
+            valid=jnp.zeros((C,), bool),
+            count=jnp.zeros((), jnp.int32),
+        )
+
+
+def db_add(db: KeyframeDB, codebook: jax.Array, *,
+           desc, kp_norm, kp_mask, win_desc, win_pts, win_norm, win_mask,
+           t, q, time) -> KeyframeDB:
+    """Append one keyframe (ring buffer; oldest evicted at capacity)."""
+    C = db.valid.shape[0]
+    slot = db.count % C
+    g = global_descriptor(desc, kp_mask, codebook)
+    return db._replace(
+        gdesc=db.gdesc.at[slot].set(g),
+        desc=db.desc.at[slot].set(desc),
+        kp_norm=db.kp_norm.at[slot].set(kp_norm),
+        kp_mask=db.kp_mask.at[slot].set(kp_mask),
+        win_desc=db.win_desc.at[slot].set(win_desc),
+        win_pts=db.win_pts.at[slot].set(win_pts),
+        win_norm=db.win_norm.at[slot].set(win_norm),
+        win_mask=db.win_mask.at[slot].set(win_mask),
+        t=db.t.at[slot].set(t),
+        q=db.q.at[slot].set(q),
+        time=db.time.at[slot].set(time),
+        seq=db.seq.at[slot].set(db.count),
+        valid=db.valid.at[slot].set(True),
+        count=db.count + 1,
+    )
+
+
+def db_query(db: KeyframeDB, codebook: jax.Array, desc, kp_mask,
+             cur_seq, cur_time, cfg: LoopConfig, top_k: int = 4):
+    """Query: cosine scores, excluding the last `search_gap` keyframes and
+    anything newer than `search_time` seconds before the query
+    (reference `detectLoop`, LoopDetector.cc:167-260).
+
+    Returns (scores (top_k,), slots (top_k,), mask (top_k,)).
+    """
+    g = global_descriptor(desc, kp_mask, codebook)
+    scores = db.gdesc @ g                              # (C,)
+    old_enough = (cur_seq - db.seq > cfg.search_gap) \
+        & (cur_time - db.time > cfg.search_time)
+    ok = db.valid & old_enough
+    scores = jnp.where(ok, scores, -1.0)
+    top_s, top_i = jax.lax.top_k(scores, top_k)
+    return top_s, top_i.astype(jnp.int32), top_s > -0.5

@@ -1,0 +1,131 @@
+"""Dense colored world map accumulation + PLY export.
+
+Rebuild of the reference map node (`src/map_builder/Map_Builder.cc`:
+`associateToMap` :213-324 and `processMapping` :8-108): per frame the LiDAR
+cloud is projected through the live extrinsic into the image, depth-completed,
+back-projected with color, transformed to world and merged into a
+fixed-capacity voxel-deduplicated colored bank; snapshots export to PLY
+(reference saves every 10 frames, :90-94).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lmono_tpu.camera.base import CameraModel
+from lmono_tpu.config import MappingConfig
+from lmono_tpu.mapping.depth import backproject_colored, complete_depth, project_cloud
+from lmono_tpu.ops.voxelmap import _voxel_keys
+from lmono_tpu.utils.lie import Pose
+
+
+class ColorMap(NamedTuple):
+    points: jax.Array  # (C, 3) world
+    colors: jax.Array  # (C, 3) in [0,1]
+    mask: jax.Array    # (C,)
+
+    @staticmethod
+    def empty(capacity: int) -> "ColorMap":
+        return ColorMap(
+            points=jnp.zeros((capacity, 3), jnp.float32),
+            colors=jnp.zeros((capacity, 3), jnp.float32),
+            mask=jnp.zeros((capacity,), bool),
+        )
+
+
+def colormap_update(cm: ColorMap, new_pts, new_colors, new_mask,
+                    voxel: float, center) -> ColorMap:
+    """Voxel-dedup merge of colored points (existing points win their voxel;
+    same compaction as `ops.voxelmap.bank_update`)."""
+    cap = cm.points.shape[0]
+    pts = jnp.concatenate([cm.points, new_pts])
+    cols = jnp.concatenate([cm.colors, new_colors])
+    mask = jnp.concatenate([cm.mask, new_mask])
+
+    keys = _voxel_keys(pts, voxel, center)
+    keys = jnp.where(mask, keys, jnp.int32(2 ** 30))
+    order = jnp.argsort(keys, stable=True)
+    k_sorted = keys[order]
+    first = jnp.concatenate([jnp.ones((1,), bool),
+                             k_sorted[1:] != k_sorted[:-1]])
+    keep = first & (k_sorted < 2 ** 30)
+    n = pts.shape[0]
+    keep_orig = jnp.zeros((n,), bool).at[order].set(keep)
+    rank = jnp.cumsum(keep_orig) - 1
+    dest = jnp.where(keep_orig, rank, n - 1)
+    out_p = jnp.zeros((n, 3), pts.dtype).at[dest].set(pts, mode="drop")
+    out_c = jnp.zeros((n, 3), cols.dtype).at[dest].set(cols, mode="drop")
+    out_m = jnp.zeros((n,), bool).at[dest].set(keep_orig, mode="drop")
+    out_m = out_m & (jnp.arange(n) < jnp.sum(keep_orig))
+    return ColorMap(out_p[:cap], out_c[:cap], out_m[:cap])
+
+
+def build_frame(points_laser: jax.Array, points_valid: jax.Array,
+                image: jax.Array, T_CL: Pose, T_WC: Pose,
+                cam: CameraModel, cfg: MappingConfig):
+    """One mapping step: laser cloud + image + poses → world colored points.
+
+    Returns (pts_w (P,3), colors (P,3), valid (P,), depth (H,W), mask)."""
+    pts_cam = T_CL.apply(points_laser)
+    depth, dmask = project_cloud(pts_cam, points_valid, cam,
+                                 cfg.depth_min, cfg.depth_max)
+    depth_f, fmask = complete_depth(depth, dmask, cfg)
+    pts_c, colors, ok = backproject_colored(depth_f, fmask, image, cam, cfg)
+    # height crop relative to the camera (reference drops sky-high points)
+    keep = ok & (pts_c[:, 1] > -cfg.crop_height)   # camera y points down
+    pts_w = T_WC.apply(pts_c)
+    return pts_w, colors, keep, depth_f, fmask
+
+
+class MapBuilder:
+    """Host-side wrapper: jitted per-frame mapping + PLY snapshots."""
+
+    def __init__(self, cam: CameraModel, cfg: MappingConfig):
+        self.cfg = cfg
+        self.map = ColorMap.empty(cfg.map_capacity)
+        self._frame = jax.jit(
+            lambda pl, pv, img, clt, clq, wct, wcq: build_frame(
+                pl, pv, img, Pose(clt, clq), Pose(wct, wcq), cam, cfg))
+        self._merge = jax.jit(
+            lambda cm, p, c, m, center: colormap_update(
+                cm, p, c, m, cfg.map_voxel, center))
+        self.frames = 0
+
+    def process(self, points_laser, points_valid, image, T_CL: Pose,
+                T_WC: Pose):
+        pts_w, colors, keep, depth, dmask = self._frame(
+            points_laser, points_valid, image, T_CL.t, T_CL.q, T_WC.t, T_WC.q)
+        self.map = self._merge(self.map, pts_w, colors, keep, T_WC.t)
+        self.frames += 1
+        return {"depth": depth, "depth_mask": dmask,
+                "n_points": int(jnp.sum(self.map.mask))}
+
+    def save_ply(self, path: str) -> int:
+        return save_ply(path, self.map)
+
+
+def save_ply(path: str, cm: ColorMap) -> int:
+    """Binary little-endian PLY export (reference saves rgb_map via PCL,
+    Map_Builder.cc:90-94)."""
+    m = np.asarray(cm.mask)
+    pts = np.asarray(cm.points)[m].astype("<f4")
+    cols = (np.clip(np.asarray(cm.colors)[m], 0, 1) * 255).astype(np.uint8)
+    n = len(pts)
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        "end_header\n"
+    ).encode()
+    rec = np.zeros(n, dtype=[("xyz", "<f4", 3), ("rgb", "u1", 3)])
+    rec["xyz"] = pts
+    rec["rgb"] = cols
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(rec.tobytes())
+    return n

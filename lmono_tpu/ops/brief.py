@@ -1,0 +1,103 @@
+"""Binary (BRIEF-style) descriptors and Hamming matching as matmuls.
+
+Replaces the reference's vendored DVision BRIEF
+(`src/loop_detection/DVision/BRIEF.cpp`) + DBoW2 inverted index
+(`include/loop_detection/DBoW/TemplatedDatabase.h`): descriptors are 256
+comparisons of blurred intensities on a fixed deterministic pattern, stored
+as ±1 int8 so that Hamming distance becomes an MXU matmul:
+    ham(a, b) = (B − a·b)/2   for a, b ∈ {±1}^B.
+Place recognition scores come from a soft-BoW global descriptor (codebook
+projection + bucket histogram + tf-idf-free L2 normalization) — a masked
+cosine top-k matmul over the keyframe bank instead of an inverted file.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lmono_tpu.ops.image import bilinear_sample, gauss_blur5
+
+BRIEF_BITS = 256
+_PATTERN_SCALE = 15.0
+
+
+def brief_pattern(bits: int = BRIEF_BITS, seed: int = 1234) -> np.ndarray:
+    """Deterministic sampling pattern: (bits, 4) = (x1, y1, x2, y2), from an
+    isotropic Gaussian like the original BRIEF paper (σ = patch/5)."""
+    rng = np.random.RandomState(seed)
+    pat = rng.normal(0.0, _PATTERN_SCALE / 2.5, size=(bits, 4))
+    return np.clip(pat, -_PATTERN_SCALE, _PATTERN_SCALE).astype(np.float32)
+
+
+_PATTERN = jnp.asarray(brief_pattern())
+
+
+def brief_describe(image: jax.Array, kps: jax.Array,
+                   mask: jax.Array) -> jax.Array:
+    """Compute ±1 BRIEF descriptors at keypoints.
+
+    image: (H, W) in [0,1]; kps: (K, 2) pixel coords.
+    Returns (K, 256) int8 in {±1} (masked rows are +1 everywhere).
+    """
+    sm = gauss_blur5(gauss_blur5(image))
+    p1 = kps[:, None, :] + _PATTERN[None, :, :2]      # (K, B, 2)
+    p2 = kps[:, None, :] + _PATTERN[None, :, 2:]
+    i1 = bilinear_sample(sm, p1)
+    i2 = bilinear_sample(sm, p2)
+    bits = jnp.where(i1 < i2, 1, -1).astype(jnp.int8)
+    return jnp.where(mask[:, None], bits, jnp.ones_like(bits))
+
+
+def hamming_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Pairwise Hamming distances between ±1 descriptor sets.
+
+    a: (Na, B) int8; b: (Nb, B) int8 → (Na, Nb) int32.
+    """
+    dot = jax.lax.dot_general(
+        a.astype(jnp.int32), b.astype(jnp.int32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (a.shape[1] - dot) // 2
+
+
+def match_descriptors(a: jax.Array, a_mask: jax.Array,
+                      b: jax.Array, b_mask: jax.Array,
+                      max_hamming: int = 80):
+    """Mutual-best matching under a Hamming gate (reference `searchInAera`,
+    KeyFrame.cc:217-246, uses one-way best < 80; we add mutuality for
+    precision).  Returns (idx_b_for_a (Na,), ok (Na,))."""
+    D = hamming_matrix(a, b)
+    D = jnp.where(b_mask[None, :], D, 10 ** 6)
+    D = jnp.where(a_mask[:, None], D, 10 ** 6)
+    best_b = jnp.argmin(D, axis=1)
+    best_d = jnp.min(D, axis=1)
+    best_a_of_b = jnp.argmin(D, axis=0)
+    mutual = best_a_of_b[best_b] == jnp.arange(a.shape[0])
+    ok = a_mask & (best_d <= max_hamming) & mutual
+    return best_b.astype(jnp.int32), ok
+
+
+def make_codebook(bits: int = BRIEF_BITS, dim: int = 128,
+                  seed: int = 77) -> jax.Array:
+    """Random signed codebook (bits, dim) — the 'vocabulary' replacing the
+    offline-trained DBoW2 binary tree (brief_k10L6.bin)."""
+    rng = np.random.RandomState(seed)
+    C = rng.normal(size=(bits, dim)).astype(np.float32)
+    C /= np.linalg.norm(C, axis=0, keepdims=True)
+    return jnp.asarray(C)
+
+
+def global_descriptor(desc: jax.Array, mask: jax.Array,
+                      codebook: jax.Array) -> jax.Array:
+    """Soft-BoW global descriptor: project each local descriptor, histogram
+    its argmax bucket, L2-normalize.  desc (K, B) ±1 int8 → (dim,) f32."""
+    proj = desc.astype(jnp.float32) @ codebook          # (K, dim)
+    bucket = jnp.argmax(proj, axis=-1)                  # (K,)
+    dim = codebook.shape[1]
+    hist = jnp.zeros((dim,), jnp.float32).at[bucket].add(
+        mask.astype(jnp.float32), mode="drop")
+    n = jnp.linalg.norm(hist)
+    return hist / jnp.maximum(n, 1e-6)

@@ -1,0 +1,173 @@
+"""Vmapped-hypothesis RANSAC solvers: fundamental matrix and PnP.
+
+Replaces the reference's `cv::findFundamentalMat` outlier gate
+(`FeatureTracker::rejectWithF`, `FeatureTracker.cc:435-503`) and
+`cv::solvePnPRansac` (`KeyFrame::PnPRANSAC`, `KeyFrame.cc:296-351`): instead
+of sequential hypothesis loops, all hypotheses are drawn up front and solved
+as one batched linear-algebra program (8-point / DLT), scored in parallel,
+and the best refit on its inliers — the shape TPUs like.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lmono_tpu.utils.lie import Pose, mat_to_quat
+
+
+# --------------------------------------------------------------------------
+# Fundamental / essential matrix
+# --------------------------------------------------------------------------
+
+def _eight_point(x0: jax.Array, x1: jax.Array) -> jax.Array:
+    """Normalized 8-point: x0,x1 (8,2) normalized coords → F (3,3)."""
+    u0, v0 = x0[:, 0], x0[:, 1]
+    u1, v1 = x1[:, 0], x1[:, 1]
+    A = jnp.stack([u1 * u0, u1 * v0, u1, v1 * u0, v1 * v0, v1, u0, v0,
+                   jnp.ones_like(u0)], axis=-1)      # (8,9)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    F = Vt[-1].reshape(3, 3)
+    # rank-2 projection
+    U, S, Vt2 = jnp.linalg.svd(F)
+    S = S.at[2].set(0.0)
+    return (U * S[None, :]) @ Vt2
+
+
+def _sampson(F: jax.Array, x0: jax.Array, x1: jax.Array) -> jax.Array:
+    """Sampson distance per correspondence (normalized coords)."""
+    ones = jnp.ones_like(x0[..., :1])
+    p0 = jnp.concatenate([x0, ones], -1)
+    p1 = jnp.concatenate([x1, ones], -1)
+    Fx0 = p0 @ F.T          # (N,3)
+    Ftx1 = p1 @ F           # (N,3)
+    num = jnp.sum(p1 * Fx0, axis=-1) ** 2
+    den = Fx0[..., 0] ** 2 + Fx0[..., 1] ** 2 + Ftx1[..., 0] ** 2 + Ftx1[..., 1] ** 2
+    return num / jnp.maximum(den, 1e-12)
+
+
+def ransac_fundamental(x0: jax.Array, x1: jax.Array, mask: jax.Array,
+                       key: jax.Array, iters: int = 64,
+                       thresh: float = 1e-4) -> tuple[jax.Array, jax.Array]:
+    """RANSAC F-matrix on normalized coords.
+
+    x0,x1: (N,2); mask: (N,) valid correspondences.  thresh is squared
+    Sampson distance in normalized units ((px/f)² — the reference gates at
+    F_THRESHOLD px with a 460 virtual focal).
+    Returns (inlier_mask (N,), best_F (3,3)).
+    """
+    N = x0.shape[0]
+    # weighted sampling without replacement approximated by categorical draws
+    logits = jnp.where(mask, 0.0, -1e9)
+    samp = jax.random.categorical(key, logits[None, :], shape=(iters, 8))
+
+    def hyp(idx):
+        return _eight_point(x0[idx], x1[idx])
+
+    Fs = jax.vmap(hyp)(samp)                              # (iters,3,3)
+    d = jax.vmap(lambda F: _sampson(F, x0, x1))(Fs)       # (iters,N)
+    inl = (d < thresh) & mask[None, :]
+    scores = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(scores)
+    # guard: degenerate sample sets (few valid) → accept everything valid
+    enough = jnp.sum(mask) >= 9
+    inlier_mask = jnp.where(enough, inl[best], mask)
+    return inlier_mask, Fs[best]
+
+
+# --------------------------------------------------------------------------
+# PnP (3D → normalized 2D) via DLT hypotheses + GN refinement
+# --------------------------------------------------------------------------
+
+def _dlt_pnp(X: jax.Array, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """DLT pose from 6 3D-2D correspondences.  X (6,3), x (6,2) normalized.
+    Returns (R (3,3), t (3,)) with x ~ project(R X + t)."""
+    zeros = jnp.zeros((6, 4))
+    Xh = jnp.concatenate([X, jnp.ones((6, 1))], axis=-1)   # (6,4)
+    r1 = jnp.concatenate([Xh, zeros, -x[:, 0:1] * Xh], axis=-1)
+    r2 = jnp.concatenate([zeros, Xh, -x[:, 1:2] * Xh], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=0)                  # (12,12)
+    _, _, Vt = jnp.linalg.svd(A)
+    P = Vt[-1].reshape(3, 4)
+    M = P[:, :3]
+    # orthogonalize: SVD-project M to a rotation, recover scale
+    U, S, Vt2 = jnp.linalg.svd(M)
+    det = jnp.linalg.det(U @ Vt2)
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(det)
+    R = U @ D @ Vt2
+    scale = jnp.sum(S * jnp.diagonal(D)) / 3.0
+    # resolve sign so points land in front of the camera
+    t = P[:, 3] / jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)
+    z = (X @ R.T + t)[:, 2]
+    flip = jnp.sum(z > 0) < 3
+    R = jnp.where(flip, -R, R)
+    t = jnp.where(flip, -t, t)
+    # re-orthonormalize after potential flip (det must stay +1)
+    U3, _, Vt3 = jnp.linalg.svd(R)
+    det3 = jnp.linalg.det(U3 @ Vt3)
+    R = U3 @ jnp.diag(jnp.array([1.0, 1.0, 1.0]).at[2].set(det3)) @ Vt3
+    return R, t
+
+
+def _reproj_err2(R, t, X, x):
+    Pc = X @ R.T + t
+    z = jnp.maximum(Pc[..., 2], 1e-6)
+    proj = Pc[..., :2] / z[..., None]
+    behind = Pc[..., 2] <= 1e-6
+    e2 = jnp.sum((proj - x) ** 2, axis=-1)
+    return jnp.where(behind, 1e9, e2)
+
+
+def _pnp_gn_refine(R, t, X, x, w, iters: int = 5):
+    """Damped GN on SE(3) minimizing reprojection error (weights w)."""
+    q = mat_to_quat(R)
+    pose = Pose(t, q)
+
+    def resid(p6, pose_lin: Pose):
+        pp = pose_lin.retract(p6)
+        Pc = pp.apply(X)
+        z = jnp.maximum(Pc[..., 2], 1e-6)
+        proj = Pc[..., :2] / z[..., None]
+        return ((proj - x) * w[:, None]).reshape(-1)
+
+    def step(pose, _):
+        J = jax.jacfwd(lambda d: resid(d, pose))(jnp.zeros(6))
+        r = resid(jnp.zeros(6), pose)
+        H = J.T @ J + 1e-6 * jnp.eye(6)
+        delta = -jnp.linalg.solve(H, J.T @ r)
+        ok = jnp.all(jnp.isfinite(delta))
+        delta = jnp.where(ok, delta, 0.0)
+        return pose.retract(delta), None
+
+    pose, _ = jax.lax.scan(step, pose, None, length=iters)
+    return pose
+
+
+def ransac_pnp(X: jax.Array, x: jax.Array, mask: jax.Array, key: jax.Array,
+               iters: int = 128, thresh: float = 1e-4,
+               min_inliers: int = 5) -> tuple[Pose, jax.Array, jax.Array]:
+    """RANSAC PnP: world points X (N,3) ↔ normalized obs x (N,2).
+
+    Returns (camera-from-world Pose, inlier_mask, ok flag).
+    """
+    logits = jnp.where(mask, 0.0, -1e9)
+    samp = jax.random.categorical(key, logits[None, :], shape=(iters, 6))
+
+    def hyp(idx):
+        R, t = _dlt_pnp(X[idx], x[idx])
+        return R, t
+
+    Rs, ts = jax.vmap(hyp)(samp)
+    e2 = jax.vmap(lambda R, t: _reproj_err2(R, t, X, x))(Rs, ts)  # (it,N)
+    inl = (e2 < thresh) & mask[None, :]
+    scores = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(scores)
+    w = inl[best].astype(X.dtype)
+    pose = _pnp_gn_refine(Rs[best], ts[best], X, x, w)
+    # recount inliers after refinement
+    Pc = pose.apply(X)
+    z = jnp.maximum(Pc[..., 2], 1e-6)
+    e2f = jnp.sum((Pc[..., :2] / z[..., None] - x) ** 2, axis=-1)
+    inlier_mask = (e2f < thresh) & mask & (Pc[..., 2] > 1e-6)
+    ok = jnp.sum(inlier_mask) >= min_inliers
+    return pose, inlier_mask, ok

@@ -1,0 +1,11 @@
+from lmono_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    make_mesh_2d,
+    shard_leading,
+    replicated,
+)
+from lmono_tpu.parallel.dist_knn import sharded_knn  # noqa: F401
+from lmono_tpu.parallel.dist_ba import (  # noqa: F401
+    make_distributed_step,
+    demo_inputs,
+)

@@ -1,0 +1,107 @@
+"""End-to-end fusion estimator tests: rendered images + noisy laser odometry
+through the tracker and sliding-window solver, against simulator ground truth."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lmono_tpu.camera import pinhole_camera
+from lmono_tpu.config import synthetic_config
+from lmono_tpu.estimator import FusionEstimator, FeatureTracker
+from lmono_tpu.eval.ate import ate_rmse
+from lmono_tpu.io import synthetic as syn
+from lmono_tpu.utils.lie import (
+    Pose,
+    boxminus,
+    pose_stack,
+    quat_mul,
+    quat_normalize,
+    so3_exp_quat,
+)
+
+CFG = synthetic_config()
+SCENE = syn.make_city_scene()
+
+
+def _noisy_laser_traj(traj, n, key, t_std=0.01, r_std=0.002):
+    """Integrate ground-truth relative motion with per-step noise (odometry
+    drift model, like A-LOAM output)."""
+    poses = [Pose(traj.t[0], traj.q[0])]
+    for i in range(1, n):
+        prev_gt = Pose(traj.t[i - 1], traj.q[i - 1])
+        cur_gt = Pose(traj.t[i], traj.q[i])
+        rel = prev_gt.between(cur_gt)
+        k1, k2, key = jax.random.split(jax.random.fold_in(key, i), 3)
+        rel_n = Pose(
+            rel.t + t_std * jax.random.normal(k1, (3,)),
+            quat_normalize(quat_mul(
+                rel.q, so3_exp_quat(r_std * jax.random.normal(k2, (3,))))),
+        )
+        poses.append(poses[-1].compose(rel_n))
+    return poses
+
+
+@pytest.mark.slow
+def test_fusion_end_to_end():
+    n = 18
+    traj = syn.circuit_trajectory(n)
+    T_CL = syn.synthetic_T_CL()
+    cam_cfg = CFG.camera
+    cam = pinhole_camera(cam_cfg.width, cam_cfg.height, cam_cfg.fx,
+                         cam_cfg.fy, cam_cfg.cx, cam_cfg.cy)
+
+    ecfg = dataclasses.replace(CFG.estimator, window_size=6, max_tracks=96,
+                               estimate_laser=1, fine_times=1000)
+    tracker = FeatureTracker(cam, CFG.tracker, cam_cfg.height, cam_cfg.width)
+    est = FusionEstimator(ecfg, T_CL, n_tracks=CFG.tracker.max_features)
+
+    laser = _noisy_laser_traj(traj, n, jax.random.PRNGKey(0))
+    outs = []
+    for i in range(n):
+        pose_wl = Pose(traj.t[i], traj.q[i])
+        img = syn.render_camera(SCENE, pose_wl.compose(T_CL.inverse()),
+                                cam_cfg)
+        track = tracker.process(img)
+        outs.append(est.process(track, laser[i]))
+
+    assert bool(outs[-1].initialized), "estimator failed to initialize"
+    est_traj = pose_stack([o.pose for o in outs])
+    gt = Pose(traj.t[:n], traj.q[:n])
+    err = ate_rmse(est_traj, gt, align=True)
+    laser_traj = pose_stack(laser)
+    err_laser = ate_rmse(laser_traj, gt, align=True)
+    # fused trajectory must stay sane and not blow up vs its odometry input
+    assert err < max(2.0 * err_laser, 0.08), \
+        f"fusion ATE {err} vs laser {err_laser}"
+    # extrinsic must not drift away from truth while refining
+    ex = outs[-1].extrinsic
+    assert float(jnp.linalg.norm(ex.t - T_CL.t)) < 0.08
+    assert float(jnp.linalg.norm(boxminus(T_CL.q, ex.q))) < 0.03
+
+
+@pytest.mark.slow
+def test_fusion_keyframe_logic():
+    """Static camera (no motion) → frames are non-keyframes once tracking
+    is established."""
+    n = 8
+    T_CL = syn.synthetic_T_CL()
+    cam_cfg = CFG.camera
+    cam = pinhole_camera(cam_cfg.width, cam_cfg.height, cam_cfg.fx,
+                         cam_cfg.fy, cam_cfg.cx, cam_cfg.cy)
+    ecfg = dataclasses.replace(CFG.estimator, window_size=4, max_tracks=96,
+                               estimate_laser=0)
+    tracker = FeatureTracker(cam, CFG.tracker, cam_cfg.height, cam_cfg.width)
+    est = FusionEstimator(ecfg, T_CL, n_tracks=CFG.tracker.max_features)
+    traj = syn.circuit_trajectory(2)
+    pose_wl = Pose(traj.t[0], traj.q[0])
+    img = syn.render_camera(SCENE, pose_wl.compose(T_CL.inverse()), cam_cfg)
+    kf_flags = []
+    for i in range(n):
+        track = tracker.process(img)
+        out = est.process(track, pose_wl)
+        kf_flags.append(bool(out.is_keyframe))
+    # after warmup, static frames must not be keyframes
+    assert not any(kf_flags[3:]), f"static frames flagged keyframe: {kf_flags}"
