@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
-CPU_BASELINE_FPS = 1.249  # measured: same code, JAX CPU backend, this host
+CPU_BASELINE_FPS = 2.320  # measured: same code, JAX CPU backend, this host
 
 N_FRAMES = 60
 WARMUP = 3

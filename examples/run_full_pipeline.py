@@ -66,7 +66,8 @@ def main(n_frames: int, loop: bool, mapping: bool, save_ply: str | None):
     print(f"extrinsic estimate t: {np.asarray(ex.ex_t).round(4)} "
           f"(true {np.asarray(T_CL.t).round(4)})")
     for k, v in system.timer.summary().items():
-        print(f"  stage {k:6s}: {v['mean_ms']:8.2f} ms/frame × {v['count']}")
+        print(f"  stage {k:6s}: median {v['median_ms']:8.2f} ms  "
+              f"mean {v['mean_ms']:8.2f} ms × {v['count']}")
     save_tum("/tmp/lmono_tpu_full.txt", est_traj)
     if save_ply and mapping:
         n = system.save_map(save_ply)

@@ -22,3 +22,11 @@ from lmono_tpu.config import (  # noqa: F401
     synthetic_config,
 )
 from lmono_tpu.utils.lie import Pose  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy import to keep bare `import lmono_tpu` light
+    if name == "SlamSystem":
+        from lmono_tpu.pipeline import SlamSystem
+        return SlamSystem
+    raise AttributeError(name)

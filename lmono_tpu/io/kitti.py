@@ -118,6 +118,16 @@ class KittiSequence:
             [f for f in os.listdir(self.velo_dir) if f.endswith(".bin")]
         ) if os.path.isdir(self.velo_dir) else 0
 
+    def image(self, i: int):
+        """Grayscale left image (H, W) in [0,1], or None if unavailable."""
+        img_path = os.path.join(self.img_dir, f"{i:06d}.png")
+        if _read_png is not None and os.path.exists(img_path):
+            return _read_png(img_path)
+        return None
+
+    def time(self, i: int) -> float:
+        return float(self.times[i]) if self.times is not None else i * 0.1
+
     def frame(self, i: int) -> dict:
         scan = scan_to_range_image(
             read_velodyne_bin(os.path.join(self.velo_dir, f"{i:06d}.bin"))[:, :3],

@@ -197,12 +197,7 @@ def register(init_pose: Pose,
     Returns (refined map-from-scan pose, diagnostics).
     """
 
-    def step(carry, _):
-        pose = carry
-        pw_e = _transform(pose, edge_pts)
-        pw_p = _transform(pose, plane_pts)
-        ec = find_edge_corr(pw_e, edge_mask, edge_bank, edge_bank_mask, cfg)
-        pc = find_plane_corr(pw_p, plane_mask, plane_bank, plane_bank_mask, cfg)
+    def gn_update(pose, ec, pc):
         H, b, cost, n_in = build_normal_equations(
             pose, edge_pts, ec, plane_pts, pc, cfg.huber_delta)
         damp = cfg.gn_damping * (1.0 + jnp.diagonal(H))
@@ -214,7 +209,21 @@ def register(init_pose: Pose,
             pose.t + delta[:3],
             quat_normalize(quat_mul(pose.q, so3_exp_quat(delta[3:6]))),
         )
-        return new_pose, (cost, n_in)
+        return new_pose, cost, n_in
 
-    pose, (costs, n_in) = jax.lax.scan(step, init_pose, None, length=iters)
+    def step(carry, _):
+        pose = carry
+        # correspondence search is the expensive half (KNN over the map);
+        # re-associating every 2 GN updates matches LOAM practice and
+        # halves the KNN traffic
+        pw_e = _transform(pose, edge_pts)
+        pw_p = _transform(pose, plane_pts)
+        ec = find_edge_corr(pw_e, edge_mask, edge_bank, edge_bank_mask, cfg)
+        pc = find_plane_corr(pw_p, plane_mask, plane_bank, plane_bank_mask, cfg)
+        pose, cost, n_in = gn_update(pose, ec, pc)
+        pose, cost, n_in = gn_update(pose, ec, pc)
+        return pose, (cost, n_in)
+
+    n_outer = max(1, (iters + 1) // 2)
+    pose, (costs, n_in) = jax.lax.scan(step, init_pose, None, length=n_outer)
     return pose, {"costs": costs, "inliers": n_in}

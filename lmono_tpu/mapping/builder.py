@@ -82,11 +82,22 @@ def build_frame(points_laser: jax.Array, points_valid: jax.Array,
 
 
 class MapBuilder:
-    """Host-side wrapper: jitted per-frame mapping + PLY snapshots."""
+    """Host-side wrapper: jitted per-frame mapping + rolling accumulation.
+
+    Per-frame points merge into a bounded *active* bank (voxel-deduped, so
+    the per-frame sort is over the active window, not the whole world);
+    every `flush_every` frames the active bank is drained to a host-side
+    archive — mirroring the reference's accumulate/publish/save/clear cycle
+    (`Map_Builder.cc:82-98`) but without discarding the global map.
+    """
+
+    ACTIVE_CAPACITY = 1 << 18
 
     def __init__(self, cam: CameraModel, cfg: MappingConfig):
         self.cfg = cfg
-        self.map = ColorMap.empty(cfg.map_capacity)
+        self.map = ColorMap.empty(min(cfg.map_capacity, self.ACTIVE_CAPACITY))
+        self._archive: list[tuple[np.ndarray, np.ndarray]] = []
+        self._archived_n = 0
         self._frame = jax.jit(
             lambda pl, pv, img, clt, clq, wct, wcq: build_frame(
                 pl, pv, img, Pose(clt, clq), Pose(wct, wcq), cam, cfg))
@@ -95,17 +106,35 @@ class MapBuilder:
                 cm, p, c, m, cfg.map_voxel, center))
         self.frames = 0
 
+    def _flush_active(self):
+        m = np.asarray(self.map.mask)
+        if m.any():
+            self._archive.append((np.asarray(self.map.points)[m],
+                                  np.asarray(self.map.colors)[m]))
+            self._archived_n += int(m.sum())
+        self.map = ColorMap.empty(self.map.points.shape[0])
+
     def process(self, points_laser, points_valid, image, T_CL: Pose,
                 T_WC: Pose):
         pts_w, colors, keep, depth, dmask = self._frame(
             points_laser, points_valid, image, T_CL.t, T_CL.q, T_WC.t, T_WC.q)
         self.map = self._merge(self.map, pts_w, colors, keep, T_WC.t)
         self.frames += 1
+        if self.frames % self.cfg.flush_every == 0:
+            self._flush_active()
         return {"depth": depth, "depth_mask": dmask,
-                "n_points": int(jnp.sum(self.map.mask))}
+                "n_points": self._archived_n + int(jnp.sum(self.map.mask))}
 
     def save_ply(self, path: str) -> int:
-        return save_ply(path, self.map)
+        m = np.asarray(self.map.mask)
+        parts_p = [p for p, _ in self._archive] + [np.asarray(self.map.points)[m]]
+        parts_c = [c for _, c in self._archive] + [np.asarray(self.map.colors)[m]]
+        pts = np.concatenate(parts_p) if parts_p else np.zeros((0, 3))
+        cols = np.concatenate(parts_c) if parts_c else np.zeros((0, 3))
+        cm = ColorMap(jnp.asarray(pts, jnp.float32),
+                      jnp.asarray(cols, jnp.float32),
+                      jnp.ones(len(pts), bool))
+        return save_ply(path, cm)
 
 
 def save_ply(path: str, cm: ColorMap) -> int:

@@ -13,9 +13,11 @@ import jax.numpy as jnp
 
 
 def avg_pool2(img: jax.Array) -> jax.Array:
-    """2x2 average downsample (pyramid level). img: (H, W) with H,W even."""
+    """2x2 average downsample (pyramid level); odd edges are cropped
+    (KITTI images are 1241 px wide)."""
     H, W = img.shape
-    return img.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+    h2, w2 = (H // 2) * 2, (W // 2) * 2
+    return img[:h2, :w2].reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
 
 
 def build_pyramid(img: jax.Array, levels: int) -> list:

@@ -25,9 +25,37 @@ def knn(query: jax.Array, target: jax.Array, target_mask: jax.Array,
     query: (Q, 3); target: (M, 3); target_mask: (M,) bool.
     Returns (dists2 (Q, k), idx (Q, k) int32).  Invalid targets never match;
     if fewer than k valid targets exist, trailing entries have dist2=_INF.
+
+    Fast path: one fused Q×M distance matrix + `lax.approx_min_k` (the
+    TPU-optimized partial reduction).  Falls back to a chunked streaming
+    top-k only when Q·M would blow past ~64M elements of HBM traffic.
     """
     Q = query.shape[0]
     M = target.shape[0]
+    # approx_min_k lowers to the TPU-optimized PartialReduce; its CPU
+    # fallback is a full sort, so keep the streaming path off-TPU
+    if jax.default_backend() == "tpu":
+        t2 = jnp.sum(target * target, axis=-1)
+
+        def slab(q):
+            q2 = jnp.sum(q * q, axis=-1, keepdims=True)
+            d2 = q2 - 2.0 * (q @ target.T) + t2[None, :]
+            d2 = jnp.where(target_mask[None, :], d2, _INF)
+            return jax.lax.approx_min_k(d2, k)
+
+        if Q * M <= (1 << 26):
+            vals, idx = slab(query)
+            return vals, idx.astype(jnp.int32)
+        # large banks: slab over the query dim — per-row top-k needs no
+        # cross-slab merge, so HBM pressure stays bounded
+        qc = max(1, (1 << 26) // M)
+        qc = min(Q, qc)
+        n_slabs = (Q + qc - 1) // qc
+        pad = n_slabs * qc - Q
+        qpad = jnp.concatenate([query, jnp.zeros((pad, 3), query.dtype)])
+        vals, idx = jax.lax.map(slab, qpad.reshape(n_slabs, qc, 3))
+        return (vals.reshape(-1, k)[:Q],
+                idx.reshape(-1, k)[:Q].astype(jnp.int32))
     chunk = min(chunk, M)
     n_chunks = (M + chunk - 1) // chunk
     pad = n_chunks * chunk - M

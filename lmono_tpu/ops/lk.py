@@ -71,21 +71,32 @@ def track_pyramid(pyr0: Sequence, grads0: Sequence, pyr1: Sequence,
 
     pyr*/grads0 are lists (len L) of (H,W) arrays (grads0[l] = (ix, iy)).
     Returns (pts1 (N,2), ok (N,)).
+
+    On TPU each level runs as the Pallas kernel (`ops.pallas.lk`): the level
+    stays in VMEM and patches are contiguous dynamic slices — the pure-XLA
+    gather path scalarizes and is ~40× slower there.
     """
     L = len(pyr0)
     scale = 2.0 ** (L - 1)
     guess = pts0 / scale
     ok = mask
+    use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from lmono_tpu.ops.pallas.lk import lk_level_pallas
 
     for lvl in range(L - 1, -1, -1):
         s = 2.0 ** lvl
         p0_l = pts0 / s
         img0, img1 = pyr0[lvl], pyr1[lvl]
         ix0, iy0 = grads0[lvl]
-        f = jax.vmap(
-            lambda p0, g: lk_level(img0, ix0, iy0, img1, p0, g, patch,
-                                   iters, eps))
-        guess, conv, _ = f(p0_l, guess)
+        if use_pallas:
+            guess, conv = lk_level_pallas(img0, ix0, iy0, img1, p0_l, guess,
+                                          patch=patch, iters=iters)
+        else:
+            f = jax.vmap(
+                lambda p0, g: lk_level(img0, ix0, iy0, img1, p0, g, patch,
+                                       iters, eps))
+            guess, conv, _ = f(p0_l, guess)
         ok = ok & conv
         if lvl > 0:
             guess = guess * 2.0

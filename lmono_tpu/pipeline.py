@@ -65,6 +65,32 @@ class SlamSystem:
         self._opt_graph = (jax.jit(lambda g: optimize_posegraph(
             g, iters=cfg.loop.posegraph_iters)) if enable_loop else None)
 
+        Kw = cfg.loop.window_points
+
+        def extract_landmarks(w):
+            """Newest-frame window landmarks: (pts_w, norm, uv, sel)."""
+            from lmono_tpu.utils.lie import quat_mul, quat_normalize, quat_rotate
+            slot = jnp.minimum(w.count - 1, w.t.shape[0] - 1).astype(jnp.int32)
+            feats = w.feats
+            sel = feats.alive & feats.depth_ok & feats.obs_mask[:, slot]
+            norm = feats.obs[:, slot]
+            uv = self.cam.undist_to_plane(norm)
+            T_CL_ = Pose(w.ex_t, w.ex_q)
+            T_LC = T_CL_.inverse()
+            cam_t = w.t + quat_rotate(w.q, jnp.broadcast_to(
+                T_LC.t, (w.t.shape[0], 3)))
+            cam_q = quat_normalize(quat_mul(w.q, T_LC.q))
+            a = feats.anchor
+            n_a = jnp.take_along_axis(feats.obs, a[:, None, None],
+                                      axis=1)[:, 0]
+            depth = 1.0 / jnp.maximum(feats.inv_depth, 1e-4)
+            p_ca = jnp.concatenate(
+                [n_a, jnp.ones_like(n_a[:, :1])], -1) * depth[:, None]
+            pts_w = quat_rotate(cam_q[a], p_ca) + cam_t[a]
+            return pts_w[:Kw], norm[:Kw], uv[:Kw], sel[:Kw]
+
+        self._extract_landmarks = jax.jit(extract_landmarks)
+
         self.correction = Pose.identity()   # drift fix from the pose graph
         self.timer = StageTimer()
         self.frame_idx = 0
@@ -123,28 +149,7 @@ class SlamSystem:
     def _loop_lane(self, scan, image, cam_pose: Pose, time: float) -> bool:
         """Keyframe lane: descriptor DB + detection + pose-graph correction."""
         w = self.estimator.state.window
-        slot = int(jnp.minimum(w.count - 1, w.t.shape[0] - 1))
-        feats = w.feats
-        # window landmarks observed in the newest frame, with solved depths
-        sel = feats.alive & feats.depth_ok & feats.obs_mask[:, slot]
-        norm = feats.obs[:, slot]
-        uv = self.cam.undist_to_plane(norm)
-        # world 3D points from anchored inverse depth
-        from lmono_tpu.utils.lie import quat_mul, quat_normalize, quat_rotate
-        T_CL = Pose(w.ex_t, w.ex_q)
-        T_LC = T_CL.inverse()
-        cam_t = w.t + quat_rotate(w.q, jnp.broadcast_to(T_LC.t,
-                                                        (w.t.shape[0], 3)))
-        cam_q = quat_normalize(quat_mul(w.q, T_LC.q))
-        a = feats.anchor
-        n_a = jnp.take_along_axis(feats.obs, a[:, None, None], axis=1)[:, 0]
-        depth = 1.0 / jnp.maximum(feats.inv_depth, 1e-4)
-        p_ca = jnp.concatenate(
-            [n_a, jnp.ones_like(n_a[:, :1])], -1) * depth[:, None]
-        pts_w = quat_rotate(cam_q[a], p_ca) + cam_t[a]
-        # pad/crop to the loop config's fixed landmark count
-        Kw = self.cfg.loop.window_points
-        pts_w, norm, uv, sel = (x[:Kw] for x in (pts_w, norm, uv, sel))
+        pts_w, norm, uv, sel = self._extract_landmarks(w)
 
         res = self.loop.process_keyframe(
             image, self.cam, uv, norm, pts_w, sel,

@@ -29,9 +29,21 @@ class StageTimer:
             self.rows.append((name, dt))
 
     def summary(self) -> dict:
-        return {k: {"total_s": self.totals[k], "count": self.counts[k],
-                    "mean_ms": 1e3 * self.totals[k] / max(self.counts[k], 1)}
-                for k in self.totals}
+        """Per-stage stats; median separates steady-state cost from the
+        first-call jit compiles that dominate the mean."""
+        by_stage: dict = {}
+        for name, dt in self.rows:
+            by_stage.setdefault(name, []).append(dt)
+        out = {}
+        for k, times in by_stage.items():
+            s = sorted(times)
+            out[k] = {
+                "total_s": self.totals[k],
+                "count": self.counts[k],
+                "mean_ms": 1e3 * self.totals[k] / max(self.counts[k], 1),
+                "median_ms": 1e3 * s[len(s) // 2],
+            }
+        return out
 
     def save_csv(self, path: str) -> None:
         with open(path, "w") as f:
