@@ -1,0 +1,46 @@
+"""SlamSystem integration test: the full dataflow on a short synthetic run."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from lmono_tpu.config import synthetic_config
+from lmono_tpu.eval.ate import ate_rmse
+from lmono_tpu.io import synthetic as syn
+from lmono_tpu.pipeline import SlamSystem
+from lmono_tpu.utils.lie import Pose, pose_stack
+
+
+@pytest.mark.slow
+def test_slam_system_short_run(tmp_path):
+    cfg = synthetic_config()
+    scene = syn.make_city_scene()
+    T_CL = syn.synthetic_T_CL()
+    cfg = cfg.replace(laser_to_camera=tuple(
+        np.asarray(T_CL.to_mat4()).reshape(-1).tolist()))
+    n = 14
+    traj = syn.circuit_trajectory(n)
+
+    system = SlamSystem(cfg, enable_loop=False, enable_mapping=True)
+    est = []
+    for i in range(n):
+        pose_wl = Pose(traj.t[i], traj.q[i])
+        scan = syn.simulate_lidar(scene, pose_wl, cfg.lidar, noise_std=0.01,
+                                  key=jax.random.PRNGKey(i))
+        img = syn.render_camera(
+            scene, pose_wl.compose(T_CL.inverse()), cfg.camera)
+        out = system.process(scan, img)
+        est.append(out["pose"])
+
+    assert out["initialized"]
+    gt = Pose(traj.t[:n], traj.q[:n])
+    err = ate_rmse(pose_stack(est), gt, align=True)
+    assert err < 0.2, f"pipeline ATE {err}"
+    # dense map accumulated and exports
+    ply = str(tmp_path / "m.ply")
+    n_pts = system.save_map(ply)
+    assert n_pts > 500
+    # stage timers populated
+    s = system.timer.summary()
+    assert {"lidar", "track", "fuse", "map"} <= set(s.keys())
