@@ -59,7 +59,11 @@ def main(n_frames: int, loop: bool, mapping: bool, save_ply: str | None):
     gt = Pose(traj.t[:n_frames], traj.q[:n_frames])
     ate = ate_rmse(est_traj, gt, align=True)
     fps = (n_frames - 1) / t_total
-    print(f"\nATE RMSE: {ate:.4f} m over {n_frames} frames")
+    print(f"\nATE RMSE (streaming): {ate:.4f} m over {n_frames} frames")
+    if loop:
+        final = system.final_trajectory()
+        print(f"ATE RMSE (retro-corrected): "
+              f"{ate_rmse(final, gt, align=True):.4f} m")
     print(f"throughput: {fps:.2f} frames/s (full pipeline, excl. simulator)")
     print(f"loops closed: {system.n_loops}")
     ex = system.estimator.state.window

@@ -128,7 +128,7 @@ class LoopConfig:
     min_brief_matches: int = 25       # MIN_BRIEF_LOOP_NUM
     min_pnp_inliers: int = 5          # MIN_PNP_LOOP_NUM
     hamming_max: int = 80             # descriptor match gate
-    pnp_ransac_iters: int = 128
+    pnp_ransac_iters: int = 256
     pnp_reproj_px: float = 10.0
     angle_threshold_deg: float = 30.0 # geometric gate (ANGLE_THRESHOLD)
     trans_threshold: float = 20.0     # geometric gate (TRANS_THRESHOLD, m)
@@ -137,6 +137,13 @@ class LoopConfig:
     vocab_dim: int = 128              # global-descriptor codebook size
     posegraph_iters: int = 20
     posegraph_4dof: bool = True
+    # LiDAR loop-edge refinement: per-keyframe feature banks stored in the
+    # DB (sensor frame) and GN-registered at detection time — the closure
+    # relative pose comes out centimeter-grade instead of PnP-grade
+    kf_edge_points: int = 512
+    kf_planar_points: int = 1024
+    refine_iters: int = 8
+    refine_min_inliers: int = 150
 
 
 @dataclass(frozen=True)

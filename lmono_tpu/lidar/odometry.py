@@ -89,6 +89,9 @@ def odometry_step(state: OdometryState, scan: dict,
         "n_planar": jnp.sum(feats.planar_mask),
         "inliers": diag["inliers"][-1],
         "cost": diag["costs"][-1],
+        # sensor-frame features, reused by the loop lane for LiDAR
+        # refinement of loop edges
+        "features": feats,
     }
     return new_state, out
 

@@ -36,14 +36,24 @@ class LoopResult(NamedTuple):
     n_matches: jax.Array    # () int32 BRIEF matches
     n_inliers: jax.Array    # () int32 PnP inliers
     score: jax.Array        # () f32 place-recognition score
+    refined: jax.Array      # () bool — LiDAR GN refinement accepted
+    refine_inliers: jax.Array  # () int32
 
 
 def detect_and_verify(db: KeyframeDB, codebook: jax.Array, cfg: LoopConfig,
                       *, desc, kp_mask, win_desc, win_pts, win_norm, win_mask,
                       cur_pose: Pose, cur_seq, cur_time,
-                      key: jax.Array) -> LoopResult:
+                      key: jax.Array, win_pnp_mask=None,
+                      lidar=None) -> LoopResult:
     """Query the DB with the current keyframe and geometrically verify the
-    best acceptable candidate."""
+    best acceptable candidate.
+
+    win_mask gates descriptor matching; win_pnp_mask (defaults to win_mask)
+    additionally gates which matches enter PnP — callers pass a stricter
+    mask when only a subset of landmarks has reliable 3D.
+    """
+    if win_pnp_mask is None:
+        win_pnp_mask = win_mask
     top_s, top_i, top_ok = db_query(db, codebook, desc, kp_mask, cur_seq,
                                     cur_time, cfg, top_k=4)
     # reference gating: best must clear 0.05; accept candidates > 0.015,
@@ -62,11 +72,15 @@ def detect_and_verify(db: KeyframeDB, codebook: jax.Array, cfg: LoopConfig,
 
     # ---- PnP: current 3D world points vs old keyframe's 2D normalized obs
     obs_old = db.kp_norm[old_slot][idx_b]                # (Kw, 2)
+    # free hypothesis: at a true revisit the drift is small, so the OLD
+    # keyframe's own camera-from-world is nearly the PnP answer already
+    prior = Pose(db.t[old_slot], db.q[old_slot]).inverse()
     pose_pnp, inl, pnp_ok = ransac_pnp(
-        win_pts, obs_old, m_ok, key,
+        win_pts, obs_old, m_ok & win_pnp_mask, key,
         iters=cfg.pnp_ransac_iters,
         thresh=(cfg.pnp_reproj_px / 460.0) ** 2,
-        min_inliers=cfg.min_pnp_inliers)
+        min_inliers=cfg.min_pnp_inliers,
+        prior_pose=prior)
     n_inliers = jnp.sum(inl)
 
     # pose_pnp: oldcam-from-world ⇒ the *drift-corrected* current-cam pose
@@ -84,6 +98,32 @@ def detect_and_verify(db: KeyframeDB, codebook: jax.Array, cfg: LoopConfig,
 
     found = (any_cand & (n_matches >= cfg.min_brief_matches) & pnp_ok
              & ang_ok & trans_ok)
+
+    # ---- LiDAR refinement of the loop relative pose: register the two
+    # keyframes' edge/planar feature sets (point-to-line/plane GN) starting
+    # from the PnP estimate — centimeter-grade closure instead of PnP-grade
+    refined_flag = jnp.zeros((), bool)
+    refine_inl = jnp.zeros((), jnp.int32)
+    if lidar is not None:
+        from lmono_tpu.lidar.registration import register
+
+        cur_edge, cur_edge_mask, cur_planar, cur_planar_mask, T_CL = lidar[:5]
+        lidar_cfg = lidar[5]
+        T_LC = T_CL.inverse()
+        rel_laser = T_LC.compose(rel).compose(T_CL)
+        refined_laser, diag = register(
+            rel_laser,
+            cur_edge, cur_edge_mask, cur_planar, cur_planar_mask,
+            db.lidar_edge[old_slot], db.lidar_edge_mask[old_slot],
+            db.lidar_planar[old_slot], db.lidar_planar_mask[old_slot],
+            lidar_cfg, cfg.refine_iters)
+        refine_inl = diag["inliers"][-1].astype(jnp.int32)
+        accept = found & (refine_inl >= cfg.refine_min_inliers)
+        rel_ref = T_CL.compose(refined_laser).compose(T_LC)
+        rel = Pose(jnp.where(accept, rel_ref.t, rel.t),
+                   jnp.where(accept, rel_ref.q, rel.q))
+        refined_flag = accept
+
     return LoopResult(
         found=found,
         old_slot=old_slot.astype(jnp.int32),
@@ -92,6 +132,8 @@ def detect_and_verify(db: KeyframeDB, codebook: jax.Array, cfg: LoopConfig,
         n_matches=n_matches.astype(jnp.int32),
         n_inliers=n_inliers.astype(jnp.int32),
         score=top_s[pick],
+        refined=refined_flag,
+        refine_inliers=refine_inl,
     )
 
 
@@ -103,8 +145,9 @@ class LoopDetector:
     """
 
     def __init__(self, cfg: LoopConfig, image_shape: tuple[int, int],
-                 focal: float = 460.0):
+                 focal: float = 460.0, lidar_cfg=None):
         self.cfg = cfg
+        self.lidar_cfg = lidar_cfg   # enables LiDAR loop-edge refinement
         self.codebook = make_codebook(cfg.brief_bits, cfg.vocab_dim)
         self.db = KeyframeDB.empty(cfg)
         self._last_time = -1e9
@@ -124,17 +167,42 @@ class LoopDetector:
         self._prep = jax.jit(prep)
         self._detect = jax.jit(
             lambda db, desc, kp_mask, wdesc, wpts, wnorm, wmask, ct, cq, seq,
-            time, k: detect_and_verify(
+            time, k, wpnp: detect_and_verify(
                 db, self.codebook, cfg,
                 desc=desc, kp_mask=kp_mask, win_desc=wdesc, win_pts=wpts,
                 win_norm=wnorm, win_mask=wmask,
-                cur_pose=Pose(ct, cq), cur_seq=seq, cur_time=time, key=k))
+                cur_pose=Pose(ct, cq), cur_seq=seq, cur_time=time, key=k,
+                win_pnp_mask=wpnp))
+        if lidar_cfg is not None:
+            import dataclasses
+            # wider correspondence gate: the PnP init can be off by meters
+            refine_cfg = dataclasses.replace(
+                lidar_cfg, corr_max_dist=max(3.0, lidar_cfg.corr_max_dist))
+            lidar_cfg = refine_cfg
+            self._detect_lidar = jax.jit(
+                lambda db, desc, kp_mask, wdesc, wpts, wnorm, wmask, ct, cq,
+                seq, time, k, wpnp, le, lem, lp, lpm, ext, exq:
+                detect_and_verify(
+                    db, self.codebook, cfg,
+                    desc=desc, kp_mask=kp_mask, win_desc=wdesc, win_pts=wpts,
+                    win_norm=wnorm, win_mask=wmask,
+                    cur_pose=Pose(ct, cq), cur_seq=seq, cur_time=time, key=k,
+                    win_pnp_mask=wpnp,
+                    lidar=(le, lem, lp, lpm, Pose(ext, exq), lidar_cfg)))
         self._add = jax.jit(
             lambda db, **kw: db_add(db, self.codebook, **kw))
 
     def process_keyframe(self, image, cam, win_uv, win_norm, win_pts,
-                         win_mask, cam_pose: Pose, time: float):
-        """Returns LoopResult or None (skip-gated)."""
+                         win_mask, cam_pose: Pose, time: float,
+                         win_pnp_mask=None, lidar_features=None,
+                         extrinsic: Pose | None = None):
+        """Returns LoopResult or None (skip-gated).
+
+        lidar_features: optional (edge, edge_mask, planar, planar_mask) in
+        the current sensor frame (already cropped/padded to the DB's
+        kf_edge_points / kf_planar_points capacities); with `extrinsic`
+        (T_CL) it enables GN refinement of the loop relative pose.
+        """
         import numpy as np
 
         pos = np.asarray(cam_pose.t)
@@ -145,16 +213,31 @@ class LoopDetector:
             return None
         self._last_time, self._last_pos = time, pos
 
+        if win_pnp_mask is None:
+            win_pnp_mask = win_mask
         kp_uv, kp_ok, desc, wdesc = self._prep(image, win_uv, win_mask)
         kp_norm = cam.lift_to_normalized(kp_uv)
         self._key, k = jax.random.split(self._key)
         seq = self.db.count
-        res = self._detect(self.db, desc, kp_ok, wdesc, win_pts, win_norm,
-                           win_mask, cam_pose.t, cam_pose.q, seq,
-                           jnp.float32(time), k)
-        self.db = self._add(
-            self.db, desc=desc, kp_norm=kp_norm, kp_mask=kp_ok,
-            win_desc=wdesc, win_pts=win_pts, win_norm=win_norm,
-            win_mask=win_mask, t=cam_pose.t, q=cam_pose.q,
-            time=jnp.float32(time))
+        use_lidar = (lidar_features is not None
+                     and self.lidar_cfg is not None
+                     and extrinsic is not None)
+        if use_lidar:
+            le, lem, lp, lpm = lidar_features
+            res = self._detect_lidar(
+                self.db, desc, kp_ok, wdesc, win_pts, win_norm, win_mask,
+                cam_pose.t, cam_pose.q, seq, jnp.float32(time), k,
+                win_pnp_mask, le, lem, lp, lpm, extrinsic.t, extrinsic.q)
+        else:
+            res = self._detect(self.db, desc, kp_ok, wdesc, win_pts,
+                               win_norm, win_mask, cam_pose.t, cam_pose.q,
+                               seq, jnp.float32(time), k, win_pnp_mask)
+        kw = dict(desc=desc, kp_norm=kp_norm, kp_mask=kp_ok,
+                  win_desc=wdesc, win_pts=win_pts, win_norm=win_norm,
+                  win_mask=win_mask, t=cam_pose.t, q=cam_pose.q,
+                  time=jnp.float32(time))
+        if use_lidar:
+            kw.update(lidar_edge=le, lidar_edge_mask=lem,
+                      lidar_planar=lp, lidar_planar_mask=lpm)
+        self.db = self._add(self.db, **kw)
         return res

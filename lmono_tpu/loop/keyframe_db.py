@@ -32,6 +32,11 @@ class KeyframeDB(NamedTuple):
     seq: jax.Array         # (C,) global keyframe index
     valid: jax.Array       # (C,)
     count: jax.Array       # () int32 — next write slot (ring)
+    # LiDAR features in the keyframe's sensor frame (loop-edge refinement)
+    lidar_edge: jax.Array      # (C, Ke, 3)
+    lidar_edge_mask: jax.Array # (C, Ke)
+    lidar_planar: jax.Array    # (C, Kp, 3)
+    lidar_planar_mask: jax.Array  # (C, Kp)
 
     @staticmethod
     def empty(cfg: LoopConfig) -> "KeyframeDB":
@@ -52,16 +57,29 @@ class KeyframeDB(NamedTuple):
             seq=jnp.zeros((C,), jnp.int32),
             valid=jnp.zeros((C,), bool),
             count=jnp.zeros((), jnp.int32),
+            lidar_edge=jnp.zeros((C, cfg.kf_edge_points, 3), jnp.float32),
+            lidar_edge_mask=jnp.zeros((C, cfg.kf_edge_points), bool),
+            lidar_planar=jnp.zeros((C, cfg.kf_planar_points, 3), jnp.float32),
+            lidar_planar_mask=jnp.zeros((C, cfg.kf_planar_points), bool),
         )
 
 
 def db_add(db: KeyframeDB, codebook: jax.Array, *,
            desc, kp_norm, kp_mask, win_desc, win_pts, win_norm, win_mask,
-           t, q, time) -> KeyframeDB:
+           t, q, time, lidar_edge=None, lidar_edge_mask=None,
+           lidar_planar=None, lidar_planar_mask=None) -> KeyframeDB:
     """Append one keyframe (ring buffer; oldest evicted at capacity)."""
     C = db.valid.shape[0]
     slot = db.count % C
     g = global_descriptor(desc, kp_mask, codebook)
+    if lidar_edge is not None:
+        db = db._replace(
+            lidar_edge=db.lidar_edge.at[slot].set(lidar_edge),
+            lidar_edge_mask=db.lidar_edge_mask.at[slot].set(lidar_edge_mask),
+            lidar_planar=db.lidar_planar.at[slot].set(lidar_planar),
+            lidar_planar_mask=db.lidar_planar_mask.at[slot].set(
+                lidar_planar_mask),
+        )
     return db._replace(
         gdesc=db.gdesc.at[slot].set(g),
         desc=db.desc.at[slot].set(desc),

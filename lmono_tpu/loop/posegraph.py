@@ -93,14 +93,23 @@ def graph_add_node(g: PoseGraph, pose: Pose) -> PoseGraph:
 
 
 def graph_add_loop(g: PoseGraph, i, j, rel: Pose) -> PoseGraph:
-    """Add loop edge: rel = T_ci_cj (newer j seen from older i)."""
+    """Add loop edge: rel = T_ci_cj (newer j seen from older i).
+
+    The yaw measurement must match the node parameterization: predict node
+    j's world pose through node i (T_w_j' = T_w_i ∘ rel) and take the
+    *world-yaw difference* — taking ypr of `rel` itself is wrong for camera
+    frames, whose ~90° roll mixes the axes.
+    """
     k = g.n_loops % g.loop_mask.shape[0]
-    ypr_rel = mat_to_ypr(quat_to_mat(rel.q))
+    i = jnp.asarray(i, jnp.int32)
+    R_i = ypr_to_mat(g.ypr[i])
+    R_j_pred = R_i @ quat_to_mat(rel.q)
+    dyaw = _wrap(mat_to_ypr(R_j_pred)[0] - g.ypr[i, 0])
     return g._replace(
-        loop_i=g.loop_i.at[k].set(jnp.asarray(i, jnp.int32)),
+        loop_i=g.loop_i.at[k].set(i),
         loop_j=g.loop_j.at[k].set(jnp.asarray(j, jnp.int32)),
         loop_dt=g.loop_dt.at[k].set(rel.t),
-        loop_dyaw=g.loop_dyaw.at[k].set(ypr_rel[0]),
+        loop_dyaw=g.loop_dyaw.at[k].set(dyaw),
         loop_mask=g.loop_mask.at[k].set(True),
         n_loops=g.n_loops + 1,
     )

@@ -145,9 +145,14 @@ def _pnp_gn_refine(R, t, X, x, w, iters: int = 5):
 
 def ransac_pnp(X: jax.Array, x: jax.Array, mask: jax.Array, key: jax.Array,
                iters: int = 128, thresh: float = 1e-4,
-               min_inliers: int = 5) -> tuple[Pose, jax.Array, jax.Array]:
+               min_inliers: int = 5,
+               prior_pose: Pose | None = None) -> tuple[Pose, jax.Array, jax.Array]:
     """RANSAC PnP: world points X (N,3) ↔ normalized obs x (N,2).
 
+    prior_pose: optional extra hypothesis scored alongside the sampled DLT
+    hypotheses (e.g. the drift-free revisit pose in loop verification — a
+    near-correct guess that wins immediately when sampling struggles with
+    mixed-quality 3D).
     Returns (camera-from-world Pose, inlier_mask, ok flag).
     """
     logits = jnp.where(mask, 0.0, -1e9)
@@ -158,6 +163,10 @@ def ransac_pnp(X: jax.Array, x: jax.Array, mask: jax.Array, key: jax.Array,
         return R, t
 
     Rs, ts = jax.vmap(hyp)(samp)
+    if prior_pose is not None:
+        from lmono_tpu.utils.lie import quat_to_mat
+        Rs = jnp.concatenate([Rs, quat_to_mat(prior_pose.q)[None]], axis=0)
+        ts = jnp.concatenate([ts, prior_pose.t[None]], axis=0)
     e2 = jax.vmap(lambda R, t: _reproj_err2(R, t, X, x))(Rs, ts)  # (it,N)
     inl = (e2 < thresh) & mask[None, :]
     scores = jnp.sum(inl, axis=-1)

@@ -57,7 +57,8 @@ class SlamSystem:
         self.estimator = FusionEstimator(
             cfg.estimator, T_CL, n_tracks=cfg.tracker.max_features)
         self.loop: Optional[LoopDetector] = (
-            LoopDetector(cfg.loop, (cfg.camera.height, cfg.camera.width))
+            LoopDetector(cfg.loop, (cfg.camera.height, cfg.camera.width),
+                         lidar_cfg=cfg.lidar)
             if enable_loop else None)
         self.graph = PoseGraph.empty(cfg.loop.db_capacity) if enable_loop else None
         self.mapper: Optional[MapBuilder] = (
@@ -67,15 +68,45 @@ class SlamSystem:
 
         Kw = cfg.loop.window_points
 
-        def extract_landmarks(w):
-            """Newest-frame window landmarks: (pts_w, norm, uv, sel)."""
+        def extract_landmarks(w, scan_points, scan_valid):
+            """Newest-frame window landmarks for the loop lane.
+
+            All live features enter descriptor matching; 3D for PnP comes
+            from the *LiDAR* depth image (projected + morphologically
+            completed) sampled at the feature pixel — metric and far more
+            accurate than the monocular inverse depths, which is what makes
+            the PnP verification reliable (triangulated depths gave ~0 PnP
+            inliers at true revisits).
+            Returns (pts_w, norm, uv, sel_match, sel_pnp).
+            """
+            from lmono_tpu.mapping.depth import complete_depth, project_cloud
             from lmono_tpu.utils.lie import quat_mul, quat_normalize, quat_rotate
+
             slot = jnp.minimum(w.count - 1, w.t.shape[0] - 1).astype(jnp.int32)
             feats = w.feats
-            sel = feats.alive & feats.depth_ok & feats.obs_mask[:, slot]
+            sel = feats.alive & feats.obs_mask[:, slot]
             norm = feats.obs[:, slot]
             uv = self.cam.undist_to_plane(norm)
+
             T_CL_ = Pose(w.ex_t, w.ex_q)
+            cam_pose = Pose(w.t[slot], w.q[slot]).compose(T_CL_.inverse())
+
+            # --- LiDAR depth at feature pixels (nearest-valid sampling)
+            pts_cam_scan = T_CL_.apply(scan_points.reshape(-1, 3))
+            depth_img, dmask = project_cloud(
+                pts_cam_scan, scan_valid.reshape(-1), self.cam,
+                cfg.mapping.depth_min, cfg.mapping.depth_max)
+            depth_f, fmask = complete_depth(depth_img, dmask, cfg.mapping)
+            ui = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0,
+                          depth_f.shape[1] - 1)
+            vi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0,
+                          depth_f.shape[0] - 1)
+            z_lidar = depth_f[vi, ui]
+            has_lidar = fmask[vi, ui] & (z_lidar > cfg.mapping.depth_min) \
+                & (z_lidar < cfg.mapping.depth_max * 0.9)
+
+            # --- fallback: triangulated inverse depth (weaker, but covers
+            # features above the LiDAR's vertical FoV)
             T_LC = T_CL_.inverse()
             cam_t = w.t + quat_rotate(w.q, jnp.broadcast_to(
                 T_LC.t, (w.t.shape[0], 3)))
@@ -83,11 +114,19 @@ class SlamSystem:
             a = feats.anchor
             n_a = jnp.take_along_axis(feats.obs, a[:, None, None],
                                       axis=1)[:, 0]
-            depth = 1.0 / jnp.maximum(feats.inv_depth, 1e-4)
+            tri_depth = 1.0 / jnp.maximum(feats.inv_depth, 1e-4)
             p_ca = jnp.concatenate(
-                [n_a, jnp.ones_like(n_a[:, :1])], -1) * depth[:, None]
-            pts_w = quat_rotate(cam_q[a], p_ca) + cam_t[a]
-            return pts_w[:Kw], norm[:Kw], uv[:Kw], sel[:Kw]
+                [n_a, jnp.ones_like(n_a[:, :1])], -1) * tri_depth[:, None]
+            p_w_tri = quat_rotate(cam_q[a], p_ca) + cam_t[a]
+            p_c_tri = cam_pose.apply_inv(p_w_tri)
+            z_tri = p_c_tri[..., 2]
+            has_tri = feats.depth_ok & (z_tri > 0.5)
+
+            ray = jnp.concatenate([norm, jnp.ones_like(norm[:, :1])], -1)
+            z = jnp.where(has_lidar, z_lidar, z_tri)
+            pts_w = cam_pose.apply(ray * z[:, None])
+            sel_pnp = sel & (has_lidar | has_tri)
+            return (pts_w[:Kw], norm[:Kw], uv[:Kw], sel[:Kw], sel_pnp[:Kw])
 
         self._extract_landmarks = jax.jit(extract_landmarks)
 
@@ -95,6 +134,10 @@ class SlamSystem:
         self.timer = StageTimer()
         self.frame_idx = 0
         self.n_loops = 0
+        # history for retro-corrected trajectory export
+        self._raw_poses: list = []      # fused laser pose per frame (uncorrected)
+        self._node_frames: list = []    # frame index of each pose-graph node
+        self._node_raw_cam: list = []   # corrected-at-the-time cam pose per node
 
     # ------------------------------------------------------------------
     def process(self, scan: dict, image, time: Optional[float] = None) -> dict:
@@ -117,12 +160,14 @@ class SlamSystem:
         fused = Pose(out.pose.t, out.pose.q)
         cam_pose = Pose(out.cam_pose.t, out.cam_pose.q)
         corrected = self.correction.compose(fused)
+        self._raw_poses.append(fused)
 
         loop_fired = False
         if self.loop is not None and bool(out.is_keyframe) \
                 and bool(out.initialized):
             with self.timer.stage("loop"):
-                loop_fired = self._loop_lane(scan, image, cam_pose, time)
+                loop_fired = self._loop_lane(scan, image, cam_pose, time,
+                                             lo.get("features"))
 
         if self.mapper is not None and bool(out.initialized):
             with self.timer.stage("map"):
@@ -146,21 +191,48 @@ class SlamSystem:
         }
 
     # ------------------------------------------------------------------
-    def _loop_lane(self, scan, image, cam_pose: Pose, time: float) -> bool:
+    def _loop_lane(self, scan, image, cam_pose: Pose, time: float,
+                   lidar_feats=None) -> bool:
         """Keyframe lane: descriptor DB + detection + pose-graph correction."""
         w = self.estimator.state.window
-        pts_w, norm, uv, sel = self._extract_landmarks(w)
+        pts_w, norm, uv, sel, sel_pnp = self._extract_landmarks(
+            w, scan["points"], scan["valid"])
+        # 3D points were built in the estimator frame; shift to corrected
+        corr_pose = self.correction.compose(cam_pose)
+        pts_w = self.correction.apply(pts_w)
+
+        lidar_pack = None
+        ext = None
+        if lidar_feats is not None:
+            Ke = self.cfg.loop.kf_edge_points
+            Kp = self.cfg.loop.kf_planar_points
+
+            def sub(x, m, cap):
+                stride = max(1, x.shape[0] // cap)
+                return x[::stride][:cap], m[::stride][:cap]
+
+            le, lem = sub(lidar_feats.edge_points, lidar_feats.edge_mask, Ke)
+            lp, lpm = sub(lidar_feats.planar_points,
+                          lidar_feats.planar_mask, Kp)
+            lidar_pack = (le, lem, lp, lpm)
+            wst = self.estimator.state.window
+            ext = Pose(wst.ex_t, wst.ex_q)
 
         res = self.loop.process_keyframe(
             image, self.cam, uv, norm, pts_w, sel,
-            self.correction.compose(cam_pose), time)
+            corr_pose, time, win_pnp_mask=sel_pnp,
+            lidar_features=lidar_pack, extrinsic=ext)
 
         # every processed keyframe becomes a pose-graph node
         if res is None:
             return False
         node_idx = int(self.loop.db.count) - 1  # slot just written
-        self.graph = graph_add_node(self.graph,
-                                    self.correction.compose(cam_pose))
+        node_pose = self.correction.compose(cam_pose)
+        self.graph = graph_add_node(self.graph, node_pose)
+        self._node_frames.append(self.frame_idx)
+        # store the UNcorrected camera pose: final_trajectory computes the
+        # raw-world → optimized-world transform per segment from it
+        self._node_raw_cam.append(cam_pose)
         if not bool(res.found):
             return False
 
@@ -176,6 +248,35 @@ class SlamSystem:
         self.correction = cur_opt.compose(cur_raw.inverse()).compose(
             self.correction)
         return True
+
+    # ------------------------------------------------------------------
+    def final_trajectory(self) -> Pose:
+        """Retro-corrected full trajectory (laser frame, one pose per frame).
+
+        The streaming output (`process()["pose"]`) applies each loop
+        correction only from its closure onward — the already-emitted
+        history keeps its drift, which is how the reference behaves too.
+        For evaluation/mapping the optimized pose graph corrects the whole
+        past: each frame is re-anchored through its most recent keyframe
+        node's optimized pose.
+        """
+        from lmono_tpu.utils.lie import pose_stack
+
+        if self.graph is None or not self._node_frames:
+            return pose_stack(self._raw_poses)
+        opt = graph_poses(self.graph)
+        out = []
+        node = 0
+        cur_fix = Pose.identity()
+        for i, raw in enumerate(self._raw_poses):
+            while (node < len(self._node_frames)
+                   and self._node_frames[node] <= i):
+                opt_cam = Pose(opt.t[node], opt.q[node])
+                raw_cam = self._node_raw_cam[node]
+                cur_fix = opt_cam.compose(raw_cam.inverse())
+                node += 1
+            out.append(cur_fix.compose(raw))
+        return pose_stack(out)
 
     # ------------------------------------------------------------------
     def save_map(self, path: str) -> int:
