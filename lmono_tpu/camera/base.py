@@ -18,8 +18,8 @@ import jax
 import jax.numpy as jnp
 
 
-@dataclasses.dataclass(frozen=True)
-class CameraModel:
+@dataclasses.dataclass(frozen=True, eq=False)  # identity hash: usable as a
+class CameraModel:                             # static jit argument
     """A camera model = parameter pytree + pure projection functions.
 
     space_to_plane(params, P):  (...,3) camera-frame points → (...,2) pixels

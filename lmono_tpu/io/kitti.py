@@ -60,8 +60,10 @@ def scan_to_range_image(xyz: np.ndarray, cfg: LidarConfig) -> dict:
     lo, hi = np.deg2rad(cfg.vertical_fov_deg[0]), np.deg2rad(cfg.vertical_fov_deg[1])
     ring = np.round((hi - elev) / (hi - lo) * (cfg.num_rings - 1)).astype(np.int64)
     azim = np.arctan2(y, x)
-    col = np.floor((azim + np.pi) / (2 * np.pi) * cfg.horiz_res).astype(np.int64)
-    col = np.clip(col, 0, cfg.horiz_res - 1)
+    # centered binning (round, not floor): cell k is centered on the ray
+    # grid's azimuth_k, so exact grid points survive the atan2 roundtrip
+    col = np.round((azim + np.pi) / (2 * np.pi) * cfg.horiz_res).astype(
+        np.int64) % cfg.horiz_res
     keep = (ring >= 0) & (ring < cfg.num_rings)
     ring, col, r = ring[keep], col[keep], r[keep]
     pts = np.stack([x[keep], y[keep], z[keep]], -1)

@@ -165,6 +165,38 @@ class LoopDetector:
             return kp_uv, kp_ok, desc, wdesc
 
         self._prep = jax.jit(prep)
+
+        # fused single-dispatch path: prep + detect + add in one jit call
+        # (each separate dispatch costs a full tunnel round-trip)
+        def process_fused(db, image, win_uv, win_norm, win_pts, win_mask,
+                          wpnp, ct, cq, seq, time, k, cam, lidar_pack):
+            kp_uv, kp_ok, desc, wdesc = prep(image, win_uv, win_mask)
+            kp_norm = cam.lift_to_normalized(kp_uv)
+            lidar = None
+            if lidar_pack is not None:
+                le, lem, lp, lpm, ext, exq = lidar_pack
+                lidar = (le, lem, lp, lpm, Pose(ext, exq), self.lidar_cfg)
+            res = detect_and_verify(
+                db, self.codebook, cfg,
+                desc=desc, kp_mask=kp_ok, win_desc=wdesc, win_pts=win_pts,
+                win_norm=win_norm, win_mask=win_mask,
+                cur_pose=Pose(ct, cq), cur_seq=seq, cur_time=time, key=k,
+                win_pnp_mask=wpnp, lidar=lidar)
+            kw = dict(desc=desc, kp_norm=kp_norm, kp_mask=kp_ok,
+                      win_desc=wdesc, win_pts=win_pts, win_norm=win_norm,
+                      win_mask=win_mask, t=ct, q=cq, time=time)
+            if lidar_pack is not None:
+                kw.update(lidar_edge=lidar_pack[0],
+                          lidar_edge_mask=lidar_pack[1],
+                          lidar_planar=lidar_pack[2],
+                          lidar_planar_mask=lidar_pack[3])
+            db2 = db_add(db, self.codebook, **kw)
+            return res, db2
+
+        # no donation: zero-filled db fields can alias other zero-valued
+        # inputs via constant pooling, which trips the donation checker
+        self._process_fused = jax.jit(process_fused,
+                                      static_argnames=("cam",))
         self._detect = jax.jit(
             lambda db, desc, kp_mask, wdesc, wpts, wnorm, wmask, ct, cq, seq,
             time, k, wpnp: detect_and_verify(
@@ -215,13 +247,29 @@ class LoopDetector:
 
         if win_pnp_mask is None:
             win_pnp_mask = win_mask
-        kp_uv, kp_ok, desc, wdesc = self._prep(image, win_uv, win_mask)
-        kp_norm = cam.lift_to_normalized(kp_uv)
         self._key, k = jax.random.split(self._key)
         seq = self.db.count
         use_lidar = (lidar_features is not None
                      and self.lidar_cfg is not None
                      and extrinsic is not None)
+
+        try:
+            # fused single-dispatch path (CameraModel must be hashable for
+            # static capture; params are weakly-referenced jnp constants)
+            lidar_pack = None
+            if use_lidar:
+                le, lem, lp, lpm = lidar_features
+                lidar_pack = (le, lem, lp, lpm, extrinsic.t, extrinsic.q)
+            res, self.db = self._process_fused(
+                self.db, image, win_uv, win_norm, win_pts, win_mask,
+                win_pnp_mask, cam_pose.t, cam_pose.q, seq,
+                jnp.float32(time), k, cam, lidar_pack)
+            return res
+        except TypeError:
+            pass  # unhashable camera → multi-dispatch fallback below
+
+        kp_uv, kp_ok, desc, wdesc = self._prep(image, win_uv, win_mask)
+        kp_norm = cam.lift_to_normalized(kp_uv)
         if use_lidar:
             le, lem, lp, lpm = lidar_features
             res = self._detect_lidar(

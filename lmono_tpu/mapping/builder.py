@@ -98,12 +98,15 @@ class MapBuilder:
         self.map = ColorMap.empty(min(cfg.map_capacity, self.ACTIVE_CAPACITY))
         self._archive: list[tuple[np.ndarray, np.ndarray]] = []
         self._archived_n = 0
-        self._frame = jax.jit(
-            lambda pl, pv, img, clt, clq, wct, wcq: build_frame(
-                pl, pv, img, Pose(clt, clq), Pose(wct, wcq), cam, cfg))
-        self._merge = jax.jit(
-            lambda cm, p, c, m, center: colormap_update(
-                cm, p, c, m, cfg.map_voxel, center))
+        def step(cm, pl_, pv, img, clt, clq, wct, wcq):
+            pts_w, colors, keep, depth, dmask = build_frame(
+                pl_, pv, img, Pose(clt, clq), Pose(wct, wcq), cam, cfg)
+            cm2 = colormap_update(cm, pts_w, colors, keep, cfg.map_voxel,
+                                  wct)
+            return cm2, depth, dmask
+
+        # one fused dispatch per frame (projection + completion + merge)
+        self._step = jax.jit(step, donate_argnums=(0,))
         self.frames = 0
 
     def _flush_active(self):
@@ -116,9 +119,9 @@ class MapBuilder:
 
     def process(self, points_laser, points_valid, image, T_CL: Pose,
                 T_WC: Pose):
-        pts_w, colors, keep, depth, dmask = self._frame(
-            points_laser, points_valid, image, T_CL.t, T_CL.q, T_WC.t, T_WC.q)
-        self.map = self._merge(self.map, pts_w, colors, keep, T_WC.t)
+        self.map, depth, dmask = self._step(
+            self.map, points_laser, points_valid, image,
+            T_CL.t, T_CL.q, T_WC.t, T_WC.q)
         self.frames += 1
         if self.frames % self.cfg.flush_every == 0:
             self._flush_active()

@@ -66,9 +66,9 @@ void regrid(const float* xyz, int64_t n_pts, const GridCfg& cfg,
       int ring = (int)std::lround((hi - elev) / (hi - lo) * (R - 1));
       if (ring < 0 || ring >= R) continue;
       const float azim = std::atan2(y, x);
-      int col = (int)std::floor((azim + (float)M_PI) / (2.f * (float)M_PI) * W);
-      if (col < 0) col = 0;
-      if (col >= W) col = W - 1;
+      // centered binning, consistent with io/kitti.py scan_to_range_image
+      int col = (int)std::lround((azim + (float)M_PI) / (2.f * (float)M_PI) * W) % W;
+      if (col < 0) col += W;
       const int64_t c = (int64_t)ring * W + col;
       if (idx[c] < 0 || r < rng[c]) {
         rng[c] = r;
