@@ -24,57 +24,52 @@ _INF = 1e12
 
 
 def _knn_kernel(q_ref, bank_ref, out_d_ref, out_i_ref,
-                *, k: int, chunk: int, M: int, TQ: int):
-    n_chunks = M // chunk
+                *, k: int, chunk: int, TQ: int):
+    """Grid = (q_tiles, bank_chunks).  The bank-chunk loop rides the pallas
+    grid (Mosaic's pipelined dimension) and the running best lists live in
+    the revisited output blocks — far friendlier to the compiler than one
+    giant fori body (which hung Mosaic)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_d_ref[:, :] = jnp.full((TQ, 128), _INF, jnp.float32)
+        out_i_ref[:, :] = jnp.zeros((TQ, 128), jnp.int32)
+
     q = q_ref[:, 0:3]                                   # (TQ, 3)
     q2 = jnp.sum(q * q, axis=1, keepdims=True)          # (TQ, 1)
+    tile4 = bank_ref[:, :]                              # (C, 4)
+    tile = tile4[:, 0:3]
+    msk = tile4[:, 3]
+    t2 = jnp.sum(tile * tile, axis=1)
+    d2 = (q2 - 2.0 * jax.lax.dot_general(
+        q, tile, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) + t2[None, :])
+    d2 = jnp.where(msk[None, :] > 0.5, d2, _INF)        # (TQ, C)
+    base = j * chunk
+    idx = base + jax.lax.broadcasted_iota(jnp.int32, (TQ, chunk), 1)
 
-    def process_chunk(c, best):
-        best_d, best_i = best                           # (TQ, k), sorted asc
-        base = pl.multiple_of(c * chunk, chunk)
-        tile4 = bank_ref[pl.ds(base, chunk), :]         # (C, 4)
-        tile = tile4[:, 0:3]
-        msk = tile4[:, 3]
-        t2 = jnp.sum(tile * tile, axis=1)
-        d2 = (q2 - 2.0 * jax.lax.dot_general(
-            q, tile, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) + t2[None, :])
-        d2 = jnp.where(msk[None, :] > 0.5, d2, _INF)    # (TQ, C)
-        idx = base + jax.lax.broadcasted_iota(jnp.int32, (TQ, chunk), 1)
-
-        # k sequential min-extractions, each inserted into the sorted list
-        def extract(j, carry):
-            d2c, bd, bi = carry
-            m = jnp.min(d2c, axis=1, keepdims=True)          # (TQ, 1)
-            is_m = d2c == m
-            big = jnp.where(is_m, idx, jnp.int32(2 ** 30))
-            mi = jnp.min(big, axis=1, keepdims=True)         # (TQ, 1)
-            d2c = jnp.where(is_m & (idx == mi), _INF, d2c)
-            # sorted insert of (m, mi): bd is sorted ascending, so `worse`
-            # is a suffix mask — its first True is the insertion slot.
-            # Lane shifts go through pltpu.roll on numeric vectors (Mosaic
-            # rejects bool lane shifts and cumsum).
-            lane = jax.lax.broadcasted_iota(jnp.int32, bd.shape, 1)
-            bd_prev = pltpu.roll(bd, 1, 1)
-            bd_prev = jnp.where(lane == 0, -_INF, bd_prev)
-            bi_prev = pltpu.roll(bi, 1, 1)
-            worse = bd > m
-            first_worse = worse & ~(bd_prev > m)
-            nbd = jnp.where(worse, jnp.where(first_worse, m, bd_prev), bd)
-            nbi = jnp.where(worse, jnp.where(first_worse, mi, bi_prev), bi)
-            return d2c, nbd, nbi
-
-        _, best_d, best_i = jax.lax.fori_loop(
-            0, k, extract, (d2, best_d, best_i))
-        return best_d, best_i
-
-    # best lists are carried at full 128-lane width (Mosaic rejects
-    # narrow-lane vectors); only the first k slots are meaningful
-    init = (jnp.full((TQ, 128), _INF, jnp.float32),
-            jnp.zeros((TQ, 128), jnp.int32))
-    best_d, best_i = jax.lax.fori_loop(0, n_chunks, process_chunk, init)
-    out_d_ref[:, :] = best_d
-    out_i_ref[:, :] = best_i
+    bd = out_d_ref[:, :]
+    bi = out_i_ref[:, :]
+    # k min-extractions, each inserted into the sorted best list
+    for _ in range(k):
+        m = jnp.min(d2, axis=1, keepdims=True)               # (TQ, 1)
+        is_m = d2 == m
+        big = jnp.where(is_m, idx, jnp.int32(2 ** 30))
+        mi = jnp.min(big, axis=1, keepdims=True)             # (TQ, 1)
+        d2 = jnp.where(is_m & (idx == mi), _INF, d2)
+        # sorted insert: bd ascending ⇒ `worse` is a suffix mask; lane
+        # shifts via pltpu.roll (Mosaic rejects bool shifts and cumsum)
+        lane = jax.lax.broadcasted_iota(jnp.int32, bd.shape, 1)
+        bd_prev = pltpu.roll(bd, 1, 1)
+        bd_prev = jnp.where(lane == 0, -_INF, bd_prev)
+        bi_prev = pltpu.roll(bi, 1, 1)
+        worse = bd > m
+        first_worse = worse & ~(bd_prev > m)
+        bd = jnp.where(worse, jnp.where(first_worse, m, bd_prev), bd)
+        bi = jnp.where(worse, jnp.where(first_worse, mi, bi_prev), bi)
+    out_d_ref[:, :] = bd
+    out_i_ref[:, :] = bi
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "tq", "interpret"))
@@ -92,20 +87,20 @@ def knn_pallas(query, target, target_mask, k: int = 5, chunk: int = 1024,
     t4 = jnp.zeros((Mp, 4), jnp.float32).at[:M, :3].set(target)
     t4 = t4.at[:M, 3].set(target_mask.astype(jnp.float32))
 
-    kernel = functools.partial(_knn_kernel, k=k, chunk=chunk, M=Mp, TQ=tq)
+    kernel = functools.partial(_knn_kernel, k=k, chunk=chunk, TQ=tq)
     out_d, out_i = pl.pallas_call(
         kernel,
-        grid=(Qp // tq,),
+        grid=(Qp // tq, Mp // chunk),
         in_specs=[
-            pl.BlockSpec((tq, 4), lambda i: (i, 0),
+            pl.BlockSpec((tq, 4), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Mp, 4), lambda i: (0, 0),
+            pl.BlockSpec((chunk, 4), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tq, 128), lambda i: (i, 0),
+            pl.BlockSpec((tq, 128), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, 128), lambda i: (i, 0),
+            pl.BlockSpec((tq, 128), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

@@ -283,3 +283,54 @@ class SlamSystem:
         if self.mapper is None:
             return 0
         return self.mapper.save_ply(path)
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        """Serialize the full SLAM state (odometry map, window, tracker,
+        keyframe DB, pose graph, drift correction) for resume/replay —
+        the capability the reference lacks entirely (SURVEY §5)."""
+        from lmono_tpu.utils.checkpoint import save_state
+
+        state = {
+            "lidar": self.lidar.state,
+            "tracker": self.tracker.state,
+            "estimator": self.estimator.state,
+            "correction": self.correction,
+            "frame_idx": jnp.asarray(self.frame_idx),
+            "n_loops": jnp.asarray(self.n_loops),
+        }
+        if self.loop is not None:
+            state["loop_db"] = self.loop.db
+            state["graph"] = self.graph
+        if self.mapper is not None:
+            state["map"] = self.mapper.map
+        save_state(path, state)
+
+    def load_checkpoint(self, path: str) -> None:
+        from lmono_tpu.utils.checkpoint import load_state
+
+        template = {
+            "lidar": self.lidar.state,
+            "tracker": self.tracker.state,
+            "estimator": self.estimator.state,
+            "correction": self.correction,
+            "frame_idx": jnp.asarray(self.frame_idx),
+            "n_loops": jnp.asarray(self.n_loops),
+        }
+        if self.loop is not None:
+            template["loop_db"] = self.loop.db
+            template["graph"] = self.graph
+        if self.mapper is not None:
+            template["map"] = self.mapper.map
+        state = load_state(path, template)
+        self.lidar.state = state["lidar"]
+        self.tracker.state = state["tracker"]
+        self.estimator.state = state["estimator"]
+        self.correction = state["correction"]
+        self.frame_idx = int(state["frame_idx"])
+        self.n_loops = int(state["n_loops"])
+        if self.loop is not None:
+            self.loop.db = state["loop_db"]
+            self.graph = state["graph"]
+        if self.mapper is not None:
+            self.mapper.map = state["map"]
