@@ -50,6 +50,8 @@ class LidarConfig:
     map_planar_capacity: int = 65536
     map_voxel_size: float = 0.4
     map_keep_radius: float = 120.0    # drop map points farther than this from pose
+    map_update: str = "hash"          # "hash": O(N) spatial-hash scatter;
+                                      # "sort": exact argsort dedup
     knn_k: int = 5
 
 

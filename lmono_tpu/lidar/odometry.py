@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from lmono_tpu.config import LidarConfig
 from lmono_tpu.lidar.features import ScanFeatures, extract_features
 from lmono_tpu.lidar.registration import register
-from lmono_tpu.ops.voxelmap import PointBank, bank_update
+from lmono_tpu.ops.voxelmap import PointBank, bank_update, bank_update_hash
 from lmono_tpu.utils.lie import Pose, quat_mul, quat_normalize, quat_conj
 
 
@@ -68,13 +68,14 @@ def odometry_step(state: OdometryState, scan: dict,
     )
 
     # insert this frame's features into the map (world frame)
+    upd = bank_update_hash if cfg.map_update == "hash" else bank_update
     ew = pose.apply(feats.edge_points)
     pw = pose.apply(feats.planar_points)
-    edge_map = bank_update(state.edge_map, ew, feats.edge_mask,
-                           cfg.map_voxel_size, pose.t, cfg.map_keep_radius)
-    plane_map = bank_update(state.plane_map, pw, feats.planar_mask,
-                            cfg.map_voxel_size * 2.0, pose.t,
-                            cfg.map_keep_radius)
+    edge_map = upd(state.edge_map, ew, feats.edge_mask,
+                   cfg.map_voxel_size, pose.t, cfg.map_keep_radius)
+    plane_map = upd(state.plane_map, pw, feats.planar_mask,
+                    cfg.map_voxel_size * 2.0, pose.t,
+                    cfg.map_keep_radius)
 
     new_state = OdometryState(
         pose=pose,
@@ -96,14 +97,46 @@ def odometry_step(state: OdometryState, scan: dict,
     return new_state, out
 
 
+def odometry_scan(state: OdometryState, scans: dict,
+                  cfg: LidarConfig) -> tuple[OdometryState, dict]:
+    """Roll the odometry over a whole chunk of sweeps in ONE device program.
+
+    scans: pytree with a leading frame axis, e.g. points (F, R, W, 3).
+    Returns (final state, stacked per-frame outputs minus the bulky feature
+    arrays).  This is the TPU-shaped driver: per-frame host dispatch costs
+    ~ms through the runtime tunnel, while the step itself costs ~0.1 ms —
+    `lax.scan` amortizes the dispatch over the chunk and lets XLA overlap
+    the per-frame programs.
+    """
+    def step(s, scan):
+        s, out = odometry_step(s, scan, cfg)
+        out.pop("features")          # keep the scanned carry lean
+        return s, out
+
+    return jax.lax.scan(step, state, scans)
+
+
 class LidarOdometry:
-    """Host-side convenience wrapper holding the jitted step."""
+    """Host-side convenience wrapper holding the jitted step.
+
+    `process` runs one sweep per call (interactive / full-pipeline use);
+    `process_chunk` runs a whole (F, ...) batch of sweeps in one dispatch
+    (offline / bench use — over an order of magnitude faster per frame).
+    """
 
     def __init__(self, cfg: LidarConfig):
         self.cfg = cfg
-        self._step = jax.jit(lambda s, scan: odometry_step(s, scan, cfg))
+        self._step = jax.jit(lambda s, scan: odometry_step(s, scan, cfg),
+                             donate_argnums=(0,))
+        self._scan = jax.jit(lambda s, scans: odometry_scan(s, scans, cfg),
+                             donate_argnums=(0,))
         self.state = OdometryState.init(cfg)
 
     def process(self, scan: dict) -> dict:
         self.state, out = self._step(self.state, scan)
         return out
+
+    def process_chunk(self, scans: dict) -> dict:
+        """scans: stacked sweeps with leading frame axis."""
+        self.state, outs = self._scan(self.state, scans)
+        return outs

@@ -3,13 +3,18 @@
 TPU-native rebuild of the LOAM-family registration the reference outsources
 to A-LOAM (`/root/reference/README.md:50-60`): correspondences come from the
 streaming brute-force KNN (`lmono_tpu.ops.knn`) instead of PCL KD-trees, line
-and plane fits are closed-form batched PCA/least-squares instead of Ceres
-autodiff factors, and the 6-DoF damped Gauss-Newton runs entirely inside one
-jitted `lax.scan` — fixed shapes, masked residuals, no host round-trips.
+and plane fits are closed-form batched 3×3 eigendecompositions instead of
+Ceres autodiff factors, and the 6-DoF damped Gauss-Newton runs entirely
+inside one jitted `lax.scan` — fixed shapes, masked residuals, no host
+round-trips.
 
-Residual conventions (match the LOAM formulation):
-  edge point  p with line (c, d̂):  r = (I − d̂d̂ᵀ)(T·p − c)      (3-vector, rank 2)
-  planar point p with plane (n̂, ρ): r = n̂ᵀ(T·p) + ρ            (scalar)
+Residual conventions (match the LOAM formulation) — both are expressed in
+the unified form  r = A·(T·p − c)  so edges and planes share one batched
+Jacobian/normal-equation assembly (fewer, larger device ops):
+  edge point  p with line (c, d̂):  A = I − d̂d̂ᵀ (rank-2 projector)
+  planar point p with plane (n̂, ρ): A = n̂n̂ᵀ, c = −ρ·n̂
+    (then A(Tp − c) = n̂·(n̂ᵀTp + ρ), the classic scalar plane residual as a
+     3-vector along n̂ — identical cost and normal equations.)
 """
 
 from __future__ import annotations
@@ -25,57 +30,77 @@ from lmono_tpu.utils.lie import Pose, quat_rotate, so3_exp_quat, quat_mul, quat_
 
 
 # --------------------------------------------------------------------------
-# Batched geometric fits
+# Closed-form batched symmetric 3×3 eigendecomposition
 # --------------------------------------------------------------------------
 
-def fit_lines(nbrs: jax.Array, nbr_ok: jax.Array):
-    """PCA line fit per query: nbrs (Q, k, 3), nbr_ok (Q, k).
+def _sym3x3_eigvals(A: jax.Array) -> jax.Array:
+    """Eigenvalues (descending) of symmetric (..., 3, 3), analytic
+    (trigonometric/Smith method) — no iteration, pure elementwise ops."""
+    q = jnp.trace(A, axis1=-2, axis2=-1) / 3.0
+    I = jnp.eye(3, dtype=A.dtype)
+    B = A - q[..., None, None] * I
+    p2 = jnp.sum(B * B, axis=(-2, -1)) / 6.0
+    # clamp keeps p³ ≥ 1e-30 — representable in f32, so the degenerate
+    # (isotropic/empty) case yields r = 0/(tiny) = 0, never 0/0 = NaN
+    p = jnp.sqrt(jnp.maximum(p2, 1e-20))
+    detB = jnp.linalg.det(B)
+    r = detB / (2.0 * p ** 3)
+    r = jnp.clip(r, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    l1 = q + 2.0 * p * jnp.cos(phi)
+    l3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    l2 = 3.0 * q - l1 - l3
+    return jnp.stack([l1, l2, l3], axis=-1)
 
-    Returns (centroid (Q,3), dir (Q,3) unit, line_ok (Q,)).
-    Line-ness gate: dominant eigenvalue ≥ 3× second (A-LOAM's criterion).
-    Dominant eigenvector via a few power iterations (no symmetric eig on TPU
-    hot path).
-    """
+
+def _eigvec_for(A: jax.Array, lam_a: jax.Array, lam_b: jax.Array) -> jax.Array:
+    """Unit eigenvector of symmetric A for the eigenvalue NOT in {lam_a,
+    lam_b}: columns of (A−λₐI)(A−λᵦI) span it; pick the largest column."""
+    I = jnp.eye(3, dtype=A.dtype)
+    M = jnp.matmul(A - lam_a[..., None, None] * I,
+                   A - lam_b[..., None, None] * I)
+    n2 = jnp.sum(M * M, axis=-2)                     # (..., 3) column norms²
+    col = jnp.argmax(n2, axis=-1)
+    v = jnp.take_along_axis(M, col[..., None, None], axis=-1)[..., 0]
+    return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
+
+
+def _weighted_cov(nbrs: jax.Array, nbr_ok: jax.Array):
     w = nbr_ok.astype(nbrs.dtype)[..., None]
     cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
     c = jnp.sum(nbrs * w, axis=1) / cnt
     x = (nbrs - c[:, None, :]) * w
     cov = jnp.einsum("qki,qkj->qij", x, x) / cnt[..., None]
+    return c, cov
 
-    # power iteration for the dominant eigenpair
-    v = jnp.ones((nbrs.shape[0], 3), nbrs.dtype) / jnp.sqrt(3.0)
-    for _ in range(8):
-        v = jnp.einsum("qij,qj->qi", cov, v)
-        v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
-    lam1 = jnp.einsum("qi,qij,qj->q", v, cov, v)
-    # bound on the remaining eigenvalues via the trace
-    tr = jnp.trace(cov, axis1=-2, axis2=-1)
-    lam_rest = jnp.maximum(tr - lam1, 0.0)
+
+def fit_lines(nbrs: jax.Array, nbr_ok: jax.Array):
+    """Line fit per query: nbrs (Q, k, 3), nbr_ok (Q, k).
+
+    Returns (centroid (Q,3), dir (Q,3) unit, line_ok (Q,)).
+    Line-ness gate: dominant eigenvalue ≥ 1.5× the rest (A-LOAM uses 3× the
+    second; with k=5 neighbors the trace bound is the robust equivalent).
+    """
+    c, cov = _weighted_cov(nbrs, nbr_ok)
+    lam = _sym3x3_eigvals(cov)
+    v = _eigvec_for(cov, lam[..., 1], lam[..., 2])   # dominant
+    lam1 = lam[..., 0]
+    lam_rest = jnp.maximum(lam[..., 1] + lam[..., 2], 0.0)
     line_ok = (jnp.sum(nbr_ok, axis=1) >= 3) & (lam1 > 1.5 * lam_rest) & (lam1 > 1e-6)
     return c, v, line_ok
 
 
 def fit_planes(nbrs: jax.Array, nbr_ok: jax.Array, plane_tol: float = 0.2):
-    """PCA plane fit per query: normal = smallest-eigenvalue direction of the
+    """Plane fit per query: normal = smallest-eigenvalue direction of the
     neighbor covariance (origin-independent, unlike A-LOAM's A·n=-1 trick,
     which is singular for planes through the map origin — e.g. the ground).
 
     Returns (normal (Q,3) unit, rho (Q,), plane_ok (Q,)) with the plane
     n·x + rho = 0.  plane_ok requires every inlier within `plane_tol`.
     """
-    w = nbr_ok.astype(nbrs.dtype)[..., None]
-    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
-    c = jnp.sum(nbrs * w, axis=1) / cnt
-    x = (nbrs - c[:, None, :]) * w
-    cov = jnp.einsum("qki,qkj->qij", x, x) / cnt[..., None]
-    # smallest eigenvector via power iteration on (tr·I − cov)
-    tr = jnp.trace(cov, axis1=-2, axis2=-1)
-    shifted = tr[:, None, None] * jnp.eye(3, dtype=nbrs.dtype) - cov
-    v = jnp.ones((nbrs.shape[0], 3), nbrs.dtype) / jnp.sqrt(3.0)
-    for _ in range(12):
-        v = jnp.einsum("qij,qj->qi", shifted, v)
-        v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
-    n_unit = v
+    c, cov = _weighted_cov(nbrs, nbr_ok)
+    lam = _sym3x3_eigvals(cov)
+    n_unit = _eigvec_for(cov, lam[..., 0], lam[..., 1])  # smallest
     rho = -jnp.einsum("qi,qi->q", n_unit, c)
     d = jnp.abs(jnp.einsum("qki,qi->qk", nbrs, n_unit) + rho[:, None])
     d = jnp.where(nbr_ok, d, 0.0)
@@ -132,48 +157,43 @@ def _huber_w(r_norm: jax.Array, delta: float) -> jax.Array:
     return jnp.where(r_norm <= delta, 1.0, delta / jnp.maximum(r_norm, 1e-12))
 
 
-def build_normal_equations(pose: Pose,
-                           edge_pts: jax.Array, ec: EdgeCorr,
-                           plane_pts: jax.Array, pc: PlaneCorr,
+def _unified_targets(ec: EdgeCorr, pc: PlaneCorr):
+    """Stack edge and plane correspondences into one (Q, ...) batch of the
+    unified residual r = A(Tp − c)."""
+    I = jnp.eye(3, dtype=ec.centroid.dtype)
+    A_e = I - jnp.einsum("qi,qj->qij", ec.direction, ec.direction)
+    c_e = ec.centroid
+    A_p = jnp.einsum("qi,qj->qij", pc.normal, pc.normal)
+    c_p = -pc.rho[:, None] * pc.normal
+    A = jnp.concatenate([A_e, A_p], axis=0)
+    c = jnp.concatenate([c_e, c_p], axis=0)
+    ok = jnp.concatenate([ec.ok, pc.ok], axis=0)
+    return A, c, ok
+
+
+def build_normal_equations(pose: Pose, pts: jax.Array,
+                           A: jax.Array, c: jax.Array, ok: jax.Array,
                            huber_delta: float):
-    """Assemble H (6,6), b (6,), cost, and inlier count for the current pose.
+    """Assemble H (6,6), b (6,), cost, inliers for the unified batch.
 
     Jacobians are analytic w.r.t. the local delta (dp global, dθ right-mul):
-      d(T·p)/d(dp) = I;  d(T·p)/d(dθ) = −R [p]× ... using right perturbation
-      T(δ)·p = R·exp(dθ)·p + t + dp ⇒ ∂/∂dθ = −R·[p]×.
+      T(δ)·p = R·exp(dθ)·p + t + dp ⇒ ∂(T·p)/∂dp = I, ∂(T·p)/∂dθ = −R[p]×,
+      so ∂r/∂[dp dθ] = A · [I  −R[p]×].
     """
-    Rm = Pose(pose.t, pose.q).R
-
-    # ---- edges: r = P_perp (T p − c), P_perp = I − d d^T
-    pw_e = _transform(pose, edge_pts)                 # (Qe,3)
-    P = (jnp.eye(3) - jnp.einsum("qi,qj->qij", ec.direction, ec.direction))
-    r_e = jnp.einsum("qij,qj->qi", P, pw_e - ec.centroid)   # (Qe,3)
+    Rm = pose.R
+    pw = _transform(pose, pts)                            # (Q,3)
+    r = jnp.einsum("qij,qj->qi", A, pw - c)               # (Q,3)
     # hard-zero masked rows BEFORE any product: masked garbage (e.g. huge
     # rho from degenerate fits) would otherwise poison sums via inf*0=nan
-    r_e = jnp.where(ec.ok[:, None], r_e, 0.0)
-    Jp_e = P                                          # ∂r/∂dp  (Qe,3,3)
-    Rp = -jnp.einsum("ij,qjk->qik", Rm, _skew_batch(edge_pts))
-    Jt_e = jnp.einsum("qij,qjk->qik", P, Rp)          # ∂r/∂dθ  (Qe,3,3)
-    J_e = jnp.concatenate([Jp_e, Jt_e], axis=-1)      # (Qe,3,6)
-    rn_e = jnp.linalg.norm(r_e, axis=-1)
-    w_e = _huber_w(rn_e, huber_delta) * ec.ok.astype(r_e.dtype)
-
-    # ---- planes: r = n·(T p) + rho (scalar)
-    pw_p = _transform(pose, plane_pts)
-    r_p = jnp.einsum("qi,qi->q", pc.normal, pw_p) + pc.rho
-    r_p = jnp.where(pc.ok, r_p, 0.0)
-    Jp_p = pc.normal                                  # (Qp,3)
-    Jt_p = jnp.einsum("qi,qij->qj", pc.normal, -jnp.einsum(
-        "ij,qjk->qik", Rm, _skew_batch(plane_pts)))
-    J_p = jnp.concatenate([Jp_p, Jt_p], axis=-1)      # (Qp,6)
-    w_p = _huber_w(jnp.abs(r_p), huber_delta) * pc.ok.astype(r_p.dtype)
-
-    H = (jnp.einsum("qai,q,qaj->ij", J_e, w_e, J_e)
-         + jnp.einsum("qi,q,qj->ij", J_p, w_p, J_p))
-    b = (jnp.einsum("qai,q,qa->i", J_e, w_e, r_e)
-         + jnp.einsum("qi,q->i", J_p * r_p[:, None], w_p))
-    cost = (jnp.sum(w_e * rn_e ** 2) + jnp.sum(w_p * r_p ** 2))
-    n_inlier = jnp.sum(ec.ok) + jnp.sum(pc.ok)
+    r = jnp.where(ok[:, None], r, 0.0)
+    Rp = -jnp.einsum("ij,qjk->qik", Rm, _skew_batch(pts)) # (Q,3,3)
+    J = jnp.concatenate([A, jnp.einsum("qij,qjk->qik", A, Rp)], axis=-1)
+    rn = jnp.linalg.norm(r, axis=-1)
+    w = _huber_w(rn, huber_delta) * ok.astype(r.dtype)
+    H = jnp.einsum("qai,q,qaj->ij", J, w, J)
+    b = jnp.einsum("qai,q,qa->i", J, w, r)
+    cost = jnp.sum(w * rn ** 2)
+    n_inlier = jnp.sum(ok)
     return H, b, cost, n_inlier
 
 
@@ -196,15 +216,16 @@ def register(init_pose: Pose,
     iteration too); the GN update is damped by `cfg.gn_damping`.
     Returns (refined map-from-scan pose, diagnostics).
     """
+    all_pts = jnp.concatenate([edge_pts, plane_pts], axis=0)
 
-    def gn_update(pose, ec, pc):
+    def gn_update(pose, A, c, ok):
         H, b, cost, n_in = build_normal_equations(
-            pose, edge_pts, ec, plane_pts, pc, cfg.huber_delta)
+            pose, all_pts, A, c, ok, cfg.huber_delta)
         damp = cfg.gn_damping * (1.0 + jnp.diagonal(H))
         delta = -jnp.linalg.solve(H + jnp.diag(damp), b)
         # guard: reject non-finite updates (degenerate geometry)
-        ok = jnp.all(jnp.isfinite(delta)) & (n_in > 10)
-        delta = jnp.where(ok, delta, jnp.zeros_like(delta))
+        good = jnp.all(jnp.isfinite(delta)) & (n_in > 10)
+        delta = jnp.where(good, delta, jnp.zeros_like(delta))
         new_pose = Pose(
             pose.t + delta[:3],
             quat_normalize(quat_mul(pose.q, so3_exp_quat(delta[3:6]))),
@@ -220,8 +241,9 @@ def register(init_pose: Pose,
         pw_p = _transform(pose, plane_pts)
         ec = find_edge_corr(pw_e, edge_mask, edge_bank, edge_bank_mask, cfg)
         pc = find_plane_corr(pw_p, plane_mask, plane_bank, plane_bank_mask, cfg)
-        pose, cost, n_in = gn_update(pose, ec, pc)
-        pose, cost, n_in = gn_update(pose, ec, pc)
+        A, c, ok = _unified_targets(ec, pc)
+        pose, cost, n_in = gn_update(pose, A, c, ok)
+        pose, cost, n_in = gn_update(pose, A, c, ok)
         return pose, (cost, n_in)
 
     n_outer = max(1, (iters + 1) // 2)

@@ -68,3 +68,55 @@ def test_bank_capacity_truncation_prefers_old():
     assert int(b2.mask.sum()) == 4
     pts = np.asarray(b2.points[np.asarray(b2.mask)])
     assert not (pts == [50.0, 50.0, 0.0]).all(axis=1).any()
+
+
+# --------------------------------------------------------------------------
+# spatial-hash bank (the O(N) hot-path variant)
+# --------------------------------------------------------------------------
+
+from lmono_tpu.ops.voxelmap import bank_update_hash
+
+
+def test_hash_bank_dedup_and_stability():
+    bank = PointBank.empty(64)
+    center = jnp.zeros(3)
+    pts1 = jnp.array([[0.1, 0.1, 0.1], [2.0, 0.0, 0.0], [0.12, 0.11, 0.1]])
+    b1 = bank_update_hash(bank, pts1, jnp.ones(3, bool), 0.5, center, 50.0)
+    # first and third share a voxel → 2 survive
+    assert int(b1.mask.sum()) == 2
+    # re-inserting adds nothing; occupants keep their slots (stable indices)
+    b2 = bank_update_hash(b1, pts1, jnp.ones(3, bool), 0.5, center, 50.0)
+    assert int(b2.mask.sum()) == 2
+    np.testing.assert_array_equal(np.asarray(b1.mask), np.asarray(b2.mask))
+    np.testing.assert_allclose(np.asarray(b1.points), np.asarray(b2.points))
+
+
+def test_hash_bank_radius_eviction_frees_slots():
+    bank = PointBank.empty(64)
+    pts = jnp.array([[0.0, 0, 0], [30.0, 0, 0]])
+    b = bank_update_hash(bank, pts, jnp.ones(2, bool), 0.5, jnp.zeros(3), 10.0)
+    assert int(b.mask.sum()) == 1
+    # the far point was evicted; inserting a same-voxel point later succeeds
+    b2 = bank_update_hash(b, jnp.array([[30.1, 0, 0.1]]), jnp.ones(1, bool),
+                          0.5, jnp.array([30.0, 0.0, 0.0]), 10.0)
+    got = np.asarray(b2.points[np.asarray(b2.mask)])
+    assert (np.abs(got - [30.1, 0, 0.1]) < 1e-6).all(axis=1).any()
+
+
+def test_hash_bank_masked_new_points_ignored():
+    bank = PointBank.empty(32)
+    pts = jnp.array([[1.0, 0, 0], [5.0, 0, 0]])
+    b = bank_update_hash(bank, pts, jnp.array([True, False]), 0.5,
+                         jnp.zeros(3), 50.0)
+    assert int(b.mask.sum()) == 1
+
+
+def test_hash_bank_world_stable_keys():
+    """Slot assignment must not depend on the (moving) center."""
+    bank = PointBank.empty(128)
+    pts = jnp.array([[3.0, 4.0, 0.5], [-2.0, 7.0, 1.0]])
+    b1 = bank_update_hash(bank, pts, jnp.ones(2, bool), 0.5,
+                          jnp.zeros(3), 100.0)
+    b2 = bank_update_hash(bank, pts, jnp.ones(2, bool), 0.5,
+                          jnp.array([10.0, -5.0, 2.0]), 100.0)
+    np.testing.assert_array_equal(np.asarray(b1.mask), np.asarray(b2.mask))
