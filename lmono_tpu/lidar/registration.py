@@ -124,10 +124,16 @@ class PlaneCorr(NamedTuple):
     ok: jax.Array        # (Qp,)
 
 
+def _knn_cfg(query_w, bank, bank_mask, cfg: LidarConfig, center):
+    sel = jnp.bfloat16 if cfg.knn_select_bf16 else None
+    return knn(query_w, bank, bank_mask, cfg.knn_k,
+               center=center, select_dtype=sel)
+
+
 def find_edge_corr(query_w: jax.Array, qmask: jax.Array,
                    bank: jax.Array, bank_mask: jax.Array,
-                   cfg: LidarConfig) -> EdgeCorr:
-    d2, idx = knn(query_w, bank, bank_mask, cfg.knn_k)
+                   cfg: LidarConfig, center: jax.Array | None = None) -> EdgeCorr:
+    d2, idx = _knn_cfg(query_w, bank, bank_mask, cfg, center)
     nbrs = bank[idx]                                 # (Q, k, 3)
     nbr_ok = (d2 < cfg.corr_max_dist ** 2) & qmask[:, None]
     c, v, ok = fit_lines(nbrs, nbr_ok)
@@ -136,8 +142,8 @@ def find_edge_corr(query_w: jax.Array, qmask: jax.Array,
 
 def find_plane_corr(query_w: jax.Array, qmask: jax.Array,
                     bank: jax.Array, bank_mask: jax.Array,
-                    cfg: LidarConfig) -> PlaneCorr:
-    d2, idx = knn(query_w, bank, bank_mask, cfg.knn_k)
+                    cfg: LidarConfig, center: jax.Array | None = None) -> PlaneCorr:
+    d2, idx = _knn_cfg(query_w, bank, bank_mask, cfg, center)
     nbrs = bank[idx]
     nbr_ok = (d2 < cfg.corr_max_dist ** 2) & qmask[:, None]
     n, rho, ok = fit_planes(nbrs, nbr_ok)
@@ -239,8 +245,12 @@ def register(init_pose: Pose,
         # halves the KNN traffic
         pw_e = _transform(pose, edge_pts)
         pw_p = _transform(pose, plane_pts)
-        ec = find_edge_corr(pw_e, edge_mask, edge_bank, edge_bank_mask, cfg)
-        pc = find_plane_corr(pw_p, plane_mask, plane_bank, plane_bank_mask, cfg)
+        # recentering by the sensor position keeps coordinates ≤ max_range,
+        # which is what makes bf16 neighbor selection safe at world scale
+        ec = find_edge_corr(pw_e, edge_mask, edge_bank, edge_bank_mask, cfg,
+                            center=pose.t)
+        pc = find_plane_corr(pw_p, plane_mask, plane_bank, plane_bank_mask,
+                             cfg, center=pose.t)
         A, c, ok = _unified_targets(ec, pc)
         pose, cost, n_in = gn_update(pose, A, c, ok)
         pose, cost, n_in = gn_update(pose, A, c, ok)

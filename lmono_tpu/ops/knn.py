@@ -19,7 +19,8 @@ _INF = 1e12
 
 
 def knn(query: jax.Array, target: jax.Array, target_mask: jax.Array,
-        k: int, chunk: int = 4096) -> tuple[jax.Array, jax.Array]:
+        k: int, chunk: int = 4096, center: jax.Array | None = None,
+        select_dtype=None) -> tuple[jax.Array, jax.Array]:
     """k nearest targets for each query point.
 
     query: (Q, 3); target: (M, 3); target_mask: (M,) bool.
@@ -29,19 +30,42 @@ def knn(query: jax.Array, target: jax.Array, target_mask: jax.Array,
     Fast path: one fused Q×M distance matrix + `lax.approx_min_k` (the
     TPU-optimized partial reduction).  Falls back to a chunked streaming
     top-k only when Q·M would blow past ~64M elements of HBM traffic.
+
+    center/select_dtype: optional reduced-precision neighbor SELECTION —
+    coordinates are recentered by `center` (distances are translation
+    invariant; recentering keeps magnitudes small so bf16 stays accurate)
+    and the Q×M score matrix is computed in `select_dtype` (e.g. bf16 —
+    half the HBM traffic, double the MXU rate).  The returned distances
+    are always exact f32 recomputed on the selected k, so downstream
+    gating is unaffected; only the neighbor *choice* is approximate.
     """
     Q = query.shape[0]
     M = target.shape[0]
+    if center is not None:
+        query = query - center
+        target = target - center
     # approx_min_k lowers to the TPU-optimized PartialReduce; its CPU
     # fallback is a full sort, so keep the streaming path off-TPU
     if jax.default_backend() == "tpu":
-        t2 = jnp.sum(target * target, axis=-1)
+        tsel = target.astype(select_dtype) if select_dtype is not None else target
+        t2 = jnp.sum(target * target, axis=-1)          # always f32
 
         def slab(q):
+            qs = q.astype(tsel.dtype)
             q2 = jnp.sum(q * q, axis=-1, keepdims=True)
-            d2 = q2 - 2.0 * (q @ target.T) + t2[None, :]
+            # only the cross term runs in select_dtype; accumulation and the
+            # squared-norm terms stay f32
+            d2 = (q2 - 2.0 * jnp.dot(qs, tsel.T,
+                                     preferred_element_type=jnp.float32)
+                  + t2[None, :])
             d2 = jnp.where(target_mask[None, :], d2, _INF)
-            return jax.lax.approx_min_k(d2, k)
+            vals, idx = jax.lax.approx_min_k(d2, k)
+            if select_dtype is not None:
+                # exact re-distance on the selected k (tiny gather)
+                nbr = target[idx]                       # (Qs, k, 3)
+                vals = jnp.sum((q[:, None, :] - nbr) ** 2, axis=-1)
+                vals = jnp.where(target_mask[idx], vals, _INF)
+            return vals, idx
 
         if Q * M <= (1 << 26):
             vals, idx = slab(query)
