@@ -25,6 +25,7 @@ import numpy as np
 
 from lmono_tpu.config import kitti_config
 from lmono_tpu.eval.ate import ate_rmse, rpe, save_tum
+from lmono_tpu.eval.kitti_metrics import kitti_odometry_errors, save_kitti_poses
 from lmono_tpu.io.kitti import KittiSequence
 from lmono_tpu.native import NativeScanLoader
 from lmono_tpu.pipeline import SlamSystem
@@ -82,6 +83,13 @@ def main():
         print(f"ATE RMSE: {ate_rmse(est_traj, gt, align=True):.4f} m")
         r = rpe(est_traj, gt, delta=10)
         print(f"RPE(10): {r['trans_rmse']:.4f} m / {r['rot_rmse_deg']:.3f}°")
+        k = kitti_odometry_errors(est_traj, gt)
+        if k["segments"]:
+            print(f"KITTI drift: {k['t_err_pct']:.3f} %  /  "
+                  f"{k['r_err_deg_per_m'] * 100:.4f} deg/100m")
+    save_kitti_poses(
+        os.path.join(args.out, f"kitti{args.seq:02d}_fused_kitti.txt"),
+        est_traj)
     for k, v in system.timer.summary().items():
         print(f"  stage {k:6s}: median {v['median_ms']:8.2f} ms  "
               f"mean {v['mean_ms']:8.2f} ms × {v['count']}")
