@@ -169,6 +169,7 @@ class MappingConfig:
     map_voxel: float = 0.2            # world map voxel dedup size
     map_capacity: int = 1 << 21       # world colored-point capacity per shard
     flush_every: int = 10             # PLY snapshot cadence (frames)
+    map_update: str = "hash"          # "hash" O(N) scatter | "sort" exact dedup
 
 
 @dataclass(frozen=True)

@@ -19,7 +19,7 @@ import numpy as np
 from lmono_tpu.camera.base import CameraModel
 from lmono_tpu.config import MappingConfig
 from lmono_tpu.mapping.depth import backproject_colored, complete_depth, project_cloud
-from lmono_tpu.ops.voxelmap import _voxel_keys
+from lmono_tpu.ops.voxelmap import _hash_slots, _voxel_keys
 from lmono_tpu.utils.lie import Pose
 
 
@@ -64,6 +64,23 @@ def colormap_update(cm: ColorMap, new_pts, new_colors, new_mask,
     return ColorMap(out_p[:cap], out_c[:cap], out_m[:cap])
 
 
+def colormap_update_hash(cm: ColorMap, new_pts, new_colors, new_mask,
+                         voxel: float) -> ColorMap:
+    """O(N) scatter merge: each voxel hashes to one bank slot (same scheme
+    as `ops.voxelmap.bank_update_hash`).  Existing points win their voxel;
+    hash collisions drop the newcomer — bounded quality loss instead of the
+    full-bank argsort, ~an order of magnitude cheaper per frame on TPU."""
+    C = cm.points.shape[0]
+    slots = _hash_slots(new_pts, voxel, C)
+    occupied = cm.mask[slots]
+    write = new_mask & ~occupied
+    dest = jnp.where(write, slots, C)           # C = out of range ⇒ dropped
+    pts = cm.points.at[dest].set(new_pts, mode="drop")
+    cols = cm.colors.at[dest].set(new_colors, mode="drop")
+    msk = cm.mask.at[dest].set(True, mode="drop")
+    return ColorMap(pts, cols, msk)
+
+
 def build_frame(points_laser: jax.Array, points_valid: jax.Array,
                 image: jax.Array, T_CL: Pose, T_WC: Pose,
                 cam: CameraModel, cfg: MappingConfig):
@@ -98,11 +115,17 @@ class MapBuilder:
         self.map = ColorMap.empty(min(cfg.map_capacity, self.ACTIVE_CAPACITY))
         self._archive: list[tuple[np.ndarray, np.ndarray]] = []
         self._archived_n = 0
+        use_hash = getattr(cfg, "map_update", "hash") == "hash"
+
         def step(cm, pl_, pv, img, clt, clq, wct, wcq):
             pts_w, colors, keep, depth, dmask = build_frame(
                 pl_, pv, img, Pose(clt, clq), Pose(wct, wcq), cam, cfg)
-            cm2 = colormap_update(cm, pts_w, colors, keep, cfg.map_voxel,
-                                  wct)
+            if use_hash:
+                cm2 = colormap_update_hash(cm, pts_w, colors, keep,
+                                           cfg.map_voxel)
+            else:
+                cm2 = colormap_update(cm, pts_w, colors, keep,
+                                      cfg.map_voxel, wct)
             return cm2, depth, dmask
 
         # one fused dispatch per frame (projection + completion + merge)

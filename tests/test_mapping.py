@@ -95,3 +95,21 @@ def test_map_builder_end_to_end(tmp_path):
     with open(ply, "rb") as f:
         head = f.read(200).decode("latin1")
     assert "ply" in head and f"element vertex {n}" in head
+
+
+def test_colormap_update_hash_dedup_and_occupancy():
+    from lmono_tpu.mapping.builder import colormap_update_hash
+
+    cm = ColorMap.empty(1024)
+    pts = jnp.array([[0.0, 0.0, 0.0], [10.0, 0.0, 0.0], [0.01, 0.0, 0.0]])
+    cols = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    cm = colormap_update_hash(cm, pts, cols, jnp.ones(3, bool), 0.5)
+    # two distinct voxels occupied (points 0 and 2 share a 0.5 m voxel)
+    assert int(jnp.sum(cm.mask)) == 2
+    # existing points win their voxel: re-inserting with new colors is a no-op
+    cm2 = colormap_update_hash(cm, pts, 1.0 - cols, jnp.ones(3, bool), 0.5)
+    assert int(jnp.sum(cm2.mask)) == 2
+    got = {tuple(c) for c in np.asarray(cm2.colors[cm2.mask])}
+    assert (0.0, 1.0, 0.0) in got           # the isolated voxel
+    # shared voxel: either in-frame writer may win, but never the re-insert
+    assert got & {(1.0, 0.0, 0.0), (0.0, 0.0, 1.0)}
