@@ -214,3 +214,32 @@ def find_chessboard_corners(image: jax.Array, rows: int, cols: int):
     order = np.lexsort((s, np.round((t - t.min()) /
                                     max(np.ptp(t), 1e-9) * (rows - 1))))
     return jnp.asarray(pts[order], jnp.float32), ok
+
+
+# --------------------------------------------------------------------------
+# Extrinsic estimation (reference `Camera::estimateExtrinsics`,
+# `camera_models/src/camera_models/Camera.cc` — cv::solvePnP on undistorted
+# normalized points)
+# --------------------------------------------------------------------------
+
+def estimate_extrinsics(cam, obj_pts, img_pts, key=None,
+                        iters: int = 128, thresh: float = 1e-4):
+    """Camera-from-world pose of a calibrated camera from 3D↔pixel matches.
+
+    Works for every camera model (pixels are lifted to the normalized plane
+    through the model's own `lift_projective`, exactly as the reference
+    undistorts before cv::solvePnP). RANSAC DLT + GN refinement.
+
+    Returns (Pose camera-from-world, inlier_mask, ok flag).
+    """
+    import jax.random as jr
+
+    from lmono_tpu.ops.ransac import ransac_pnp
+
+    obj = jnp.asarray(obj_pts, jnp.float32)
+    uv = jnp.asarray(img_pts, jnp.float32)
+    xy = cam.lift_to_normalized(uv)
+    mask = jnp.ones(obj.shape[0], bool)
+    if key is None:
+        key = jr.PRNGKey(0)
+    return ransac_pnp(obj, xy, mask, key, iters=iters, thresh=thresh)

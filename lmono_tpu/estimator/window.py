@@ -131,3 +131,33 @@ class WindowState(NamedTuple):
     def cam_pose(self, i) -> Pose:
         """T_W_C(i) = T_W_L(i) ∘ T_CL⁻¹."""
         return self.pose(i).compose(self.extrinsic().inverse())
+
+
+def consistency_check(w: "WindowState") -> dict:
+    """Camera-vs-laser relative-motion consistency over the window.
+
+    Parity with `Estimator::check()` (`src/image_process/Estimator.cc:
+    1472-1501`), which prints, for each consecutive window pair, the
+    optimized relative motion against the laser-odometry relative motion.
+    Returns masked per-pair rotation discrepancy (degrees) and translation
+    discrepancy (meters) plus their maxima — the numeric self-check the
+    reference only ever eyeballs in a terminal.
+    """
+    opt_rel = jax.vmap(
+        lambda i: Pose(w.t[i], w.q[i]).between(Pose(w.t[i + 1], w.q[i + 1]))
+    )(jnp.arange(w.w1 - 1))
+    las_rel = jax.vmap(
+        lambda i: Pose(w.lt[i], w.lq[i]).between(Pose(w.lt[i + 1], w.lq[i + 1]))
+    )(jnp.arange(w.w1 - 1))
+    d = jax.vmap(lambda a, b: a.local(b))(opt_rel, las_rel)   # (W, 6)
+    rot_deg = jnp.linalg.norm(d[:, 3:], axis=-1) * (180.0 / jnp.pi)
+    trans_m = jnp.linalg.norm(d[:, :3], axis=-1)
+    pair_valid = jnp.arange(w.w1 - 1) < jnp.maximum(w.count - 1, 0)
+    rot_deg = jnp.where(pair_valid, rot_deg, 0.0)
+    trans_m = jnp.where(pair_valid, trans_m, 0.0)
+    return {
+        "rot_err_deg": rot_deg,
+        "trans_err_m": trans_m,
+        "max_rot_err_deg": jnp.max(rot_deg),
+        "max_trans_err_m": jnp.max(trans_m),
+    }
