@@ -112,8 +112,13 @@ class EstimatorConfig:
     factor_weight: float = 1000.0     # global factor weight scale
     outlier_reproj_px: float = 5.0    # outlier_t gate, px at virtual focal
     min_track_cnt: int = 4            # track_cnt: min obs before use
-    gn_iters: int = 8                 # window solver iterations (<=30 in ref)
-    gn_damping_init: float = 1e-6     # LM lambda on the (large) scaled diag
+    gn_iters: int = 12                # max LM attempts (≤30 Ceres iters in ref)
+    lm_lambda_init: float = 1e-5      # initial LM damping on the scaled diag
+    lm_lambda_min: float = 1e-9
+    lm_lambda_max: float = 1e2
+    lm_cost_tol: float = 1e-4         # relative-decrease early-exit (Ceres
+                                      # function_tolerance analogue)
+    lm_step_max: float = 25.0         # safety clamp on ‖δ‖ (pathological only)
     cauchy_c: float = 1.0             # robust loss scale on reprojection (pixels/f)
     keyframe_parallax_frames: int = 2 # frames back used in parallax computation
     delay_time: float = 0.03          # image<->laser-odometry pairing tolerance (s)

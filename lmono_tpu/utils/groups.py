@@ -119,7 +119,10 @@ def se2_exp(xi: jax.Array) -> SE2:
 
 
 def se2_log(g: SE2) -> jax.Array:
-    theta = g.theta
+    # principal branch: SE2.theta is unbounded (compose adds angles), but
+    # V(θ) is singular at θ = ±2π — wrap to (-π, π] first, matching the
+    # vendored Sophus se2.hpp semantics (always returns the principal angle).
+    theta = jnp.arctan2(jnp.sin(g.theta), jnp.cos(g.theta))
     V = _se2_V(theta)
     # V is 2x2: invert in closed form.
     det = V[..., 0, 0] * V[..., 1, 1] - V[..., 0, 1] * V[..., 1, 0]

@@ -30,6 +30,35 @@ class CubicSpline(NamedTuple):
     m: jax.Array   # (N, ...) second derivatives at the knots
 
 
+def _thomas_solve(lower: jax.Array, main: jax.Array, upper: jax.Array,
+                  d: jax.Array) -> jax.Array:
+    """Tridiagonal solve (Thomas algorithm) via two `lax.scan` sweeps.
+
+    O(N) work / O(N) memory instead of materializing the dense matrix —
+    the system here (natural cubic spline) is diagonally dominant, so no
+    pivoting is needed.  lower[0] and upper[-1] are ignored.
+    """
+    def fwd(carry, inp):
+        cp_prev, dp_prev = carry
+        lo, mi, up, di = inp
+        denom = mi - lo * cp_prev
+        cp = up / denom
+        dp = (di - lo * dp_prev) / denom
+        return (cp, dp), (cp, dp)
+
+    zeros_d = jnp.zeros_like(d[0])
+    _, (cp, dp) = jax.lax.scan(
+        fwd, (jnp.zeros_like(main[0]), zeros_d), (lower, main, upper, d))
+
+    def bwd(x_next, inp):
+        cpi, dpi = inp
+        x = dpi - cpi * x_next
+        return x, x
+
+    _, xs = jax.lax.scan(bwd, zeros_d, (cp, dp), reverse=True)
+    return xs
+
+
 def cubic_spline_fit(x: jax.Array, y: jax.Array) -> CubicSpline:
     """Solve the natural-spline tridiagonal system for knot curvatures."""
     x = jnp.asarray(x)
@@ -39,12 +68,13 @@ def cubic_spline_fit(x: jax.Array, y: jax.Array) -> CubicSpline:
     yf = y.reshape(N, -1)                    # flatten value dims
     d = 6.0 * ((yf[2:] - yf[1:-1]) / h[1:, None]
                - (yf[1:-1] - yf[:-2]) / h[:-1, None])   # (N-2, D)
-    # Tridiagonal system A m_inner = d with natural BCs m_0 = m_{N-1} = 0.
+    # Tridiagonal system A m_inner = d with natural BCs m_0 = m_{N-1} = 0,
+    # solved by the Thomas algorithm (O(N), no dense matrix).
     main = 2.0 * (h[:-1] + h[1:])
-    A = (jnp.diag(main)
-         + jnp.diag(h[1:-1], 1)
-         + jnp.diag(h[1:-1], -1))
-    m_inner = jnp.linalg.solve(A, d)
+    lower = jnp.concatenate([jnp.zeros((1,), h.dtype), h[1:-1]])
+    upper = jnp.concatenate([h[1:-1], jnp.zeros((1,), h.dtype)])
+    m_inner = _thomas_solve(lower[:, None], main[:, None],
+                            upper[:, None], d)
     zeros = jnp.zeros((1, yf.shape[1]), yf.dtype)
     m = jnp.concatenate([zeros, m_inner, zeros], axis=0)
     return CubicSpline(x, y, m.reshape(y.shape))
@@ -118,11 +148,30 @@ def pose_bspline_resample(poses: Pose, times: jax.Array,
 
     Control points are the trajectory poses themselves with their (sorted)
     timestamps as knots; each query lands in a cubic segment via
-    searchsorted. Endpoints are padded so the spline covers [t0, tN].
+    searchsorted.  The control sequence is padded at both ends with
+    *linearly extrapolated* virtual poses (p₋₁ = p₀ ∘ (p₀⁻¹p₁)⁻¹ and its
+    mirror at the tail) so the spline covers the full [t₀, t_N] range with
+    no endpoint collapse — a constant-velocity trajectory is reproduced
+    exactly everywhere, including the first and last knot intervals.
     """
     N = times.shape[0]
-    idx = jnp.clip(jnp.searchsorted(times, query, side="right") - 1, 1, N - 3)
+    q, t = poses.q, poses.t
+
+    # virtual controls by mirroring the boundary relative motion
+    dq_head = quat_mul(quat_conj(q[1]), q[0])         # p1→p0 motion
+    q_pre = quat_mul(q[0], dq_head)
+    t_pre = t[0] + (t[0] - t[1])
+    dq_tail = quat_mul(quat_conj(q[-2]), q[-1])       # pN-2→pN-1 motion
+    q_post = quat_mul(q[-1], dq_tail)
+    t_post = t[-1] + (t[-1] - t[-2])
+    q_pad = jnp.concatenate([q_pre[None], q, q_post[None]], axis=0)
+    t_pad = jnp.concatenate([t_pre[None], t, t_post[None]], axis=0)
+    padded = Pose(t=t_pad, q=q_pad)
+
+    idx = jnp.clip(jnp.searchsorted(times, query, side="right") - 1, 0, N - 2)
     t0 = times[idx]
     t1 = times[idx + 1]
     u = jnp.clip((query - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0, 1.0)
-    return pose_bspline_eval(poses, u, idx - 1)
+    # padded index: segment [times[idx], times[idx+1]] uses padded controls
+    # idx .. idx+3 == original idx-1 .. idx+2
+    return pose_bspline_eval(padded, u, idx)

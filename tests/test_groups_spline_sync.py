@@ -130,7 +130,43 @@ def test_pose_bspline_constant_and_line():
                 jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (N, 4)))
     out2 = pose_bspline_resample(line, times, q)
     assert np.allclose(out2.t[:, 1:], 0.0, atol=1e-5)
-    assert np.allclose(out2.t[:, 0], q, atol=0.35)  # cubic smoothing lag
+    # constant-velocity trajectory is reproduced exactly (extrapolated
+    # endpoint padding makes the first/last knot intervals live too)
+    assert np.allclose(out2.t[:, 0], q, atol=1e-4)
+
+
+def test_pose_bspline_endpoint_intervals():
+    """Queries inside the first and last knot intervals must track the
+    trajectory, not collapse to a constant (round-1 advisor finding)."""
+    N = 10
+    times = jnp.arange(N, dtype=jnp.float32)
+    line = Pose(jnp.stack([times, 0 * times, 0 * times], -1),
+                jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (N, 4)))
+    q = jnp.array([0.0, 0.5, 1.0, 8.0, 8.5, 9.0])
+    out = pose_bspline_resample(line, times, q)
+    assert np.allclose(out.t[:, 0], q, atol=1e-4), out.t[:, 0]
+
+
+def test_se2_log_wraps_to_principal_angle():
+    """se2_log of a composed transform with |theta| >= 2*pi must return the
+    principal branch, not inf/NaN (V(theta) is singular at 2*pi)."""
+    from lmono_tpu.utils.groups import SE2, se2_exp, se2_log
+
+    g = se2_exp(jnp.array([1.0, 0.5, 2.5]))
+    acc = g
+    for _ in range(3):  # total theta = 7.5 rad > 2*pi
+        acc = acc.compose(g)
+    xi = se2_log(acc)
+    assert np.all(np.isfinite(np.asarray(xi)))
+    theta = float(xi[2])
+    assert -np.pi < theta <= np.pi
+    # round trip through the principal representative
+    g2 = se2_exp(xi)
+    assert np.allclose(np.asarray(g2.t), np.asarray(acc.t), atol=1e-4)
+    assert np.allclose(np.cos(float(g2.theta)), np.cos(float(acc.theta)),
+                       atol=1e-5)
+    assert np.allclose(np.sin(float(g2.theta)), np.sin(float(acc.theta)),
+                       atol=1e-5)
 
 
 def test_pose_bspline_rotation_smooth():
