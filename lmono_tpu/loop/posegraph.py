@@ -12,6 +12,9 @@ which XLA fuses across all edges.
 
 4-DoF mode (VINS-style): optimize (x, y, z, yaw) per keyframe, holding
 pitch/roll at their odometry values (gravity-observable axes).
+6-DoF mode (`LoopConfig.posegraph_4dof=False`): optimize full SE(3) per
+keyframe — position plus a local rotation tangent around the stored node
+rotation — with full relative-rotation edge residuals; same matrix-free CG.
 """
 
 from __future__ import annotations
@@ -25,7 +28,12 @@ from lmono_tpu.config import LoopConfig
 from lmono_tpu.utils.lie import (
     Pose,
     mat_to_ypr,
+    quat_conj,
+    quat_mul,
+    quat_rotate_inv,
     quat_to_mat,
+    so3_exp_quat,
+    so3_log_quat,
     ypr_to_mat,
     mat_to_quat,
 )
@@ -39,29 +47,35 @@ class PoseGraph(NamedTuple):
     # sequential edges i→i+1 (relative in frame i), from odometry
     seq_dt: jax.Array     # (N, 3)
     seq_dyaw: jax.Array   # (N,)
+    seq_dq: jax.Array     # (N, 4) full relative rotation (6-DoF edges)
     seq_mask: jax.Array   # (N,)
     # loop edges
     loop_i: jax.Array     # (L,) int32 older node
     loop_j: jax.Array     # (L,) int32 newer node
     loop_dt: jax.Array    # (L, 3) measured t_j in frame i
     loop_dyaw: jax.Array  # (L,)
+    loop_dq: jax.Array    # (L, 4) full relative rotation (6-DoF edges)
     loop_mask: jax.Array  # (L,)
     n_nodes: jax.Array    # ()
     n_loops: jax.Array    # ()
 
     @staticmethod
     def empty(capacity: int, max_loops: int = 256) -> "PoseGraph":
+        ident = jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (capacity, 1))
         return PoseGraph(
             t=jnp.zeros((capacity, 3), jnp.float32),
             ypr=jnp.zeros((capacity, 3), jnp.float32),
             node_mask=jnp.zeros((capacity,), bool),
             seq_dt=jnp.zeros((capacity, 3), jnp.float32),
             seq_dyaw=jnp.zeros((capacity,), jnp.float32),
+            seq_dq=ident,
             seq_mask=jnp.zeros((capacity,), bool),
             loop_i=jnp.zeros((max_loops,), jnp.int32),
             loop_j=jnp.zeros((max_loops,), jnp.int32),
             loop_dt=jnp.zeros((max_loops, 3), jnp.float32),
             loop_dyaw=jnp.zeros((max_loops,), jnp.float32),
+            loop_dq=jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32),
+                             (max_loops, 1)),
             loop_mask=jnp.zeros((max_loops,), bool),
             n_nodes=jnp.zeros((), jnp.int32),
             n_loops=jnp.zeros((), jnp.int32),
@@ -74,12 +88,15 @@ def graph_add_node(g: PoseGraph, pose: Pose) -> PoseGraph:
     i = g.n_nodes
     ypr = mat_to_ypr(quat_to_mat(pose.q))
     prev = jnp.maximum(i - 1, 0)
-    # relative measurement in the previous node's yaw frame
+    # relative measurement in the previous node's (full-rotation) frame
     R_prev = ypr_to_mat(g.ypr[prev])
+    q_prev = mat_to_quat(R_prev)
     dt = jnp.where(i > 0,
                    R_prev.T @ (pose.t - g.t[prev]),
                    jnp.zeros(3))
     dyaw = jnp.where(i > 0, ypr[0] - g.ypr[prev, 0], 0.0)
+    dq = jnp.where(i > 0, quat_mul(quat_conj(q_prev), pose.q),
+                   jnp.array([1.0, 0, 0, 0]))
     return g._replace(
         t=g.t.at[i].set(pose.t),
         ypr=g.ypr.at[i].set(ypr),
@@ -87,6 +104,8 @@ def graph_add_node(g: PoseGraph, pose: Pose) -> PoseGraph:
         seq_dt=g.seq_dt.at[prev].set(jnp.where(i > 0, dt, g.seq_dt[prev])),
         seq_dyaw=g.seq_dyaw.at[prev].set(
             jnp.where(i > 0, dyaw, g.seq_dyaw[prev])),
+        seq_dq=g.seq_dq.at[prev].set(
+            jnp.where(i > 0, dq, g.seq_dq[prev])),
         seq_mask=g.seq_mask.at[prev].set((i > 0) | g.seq_mask[prev]),
         n_nodes=i + 1,
     )
@@ -110,6 +129,7 @@ def graph_add_loop(g: PoseGraph, i, j, rel: Pose) -> PoseGraph:
         loop_j=g.loop_j.at[k].set(jnp.asarray(j, jnp.int32)),
         loop_dt=g.loop_dt.at[k].set(rel.t),
         loop_dyaw=g.loop_dyaw.at[k].set(dyaw),
+        loop_dq=g.loop_dq.at[k].set(rel.q),
         loop_mask=g.loop_mask.at[k].set(True),
         n_loops=g.n_loops + 1,
     )
@@ -149,13 +169,48 @@ def _wrap(a):
     return jnp.arctan2(jnp.sin(a), jnp.cos(a))
 
 
+def _residuals6(x: jax.Array, g: PoseGraph, q0: jax.Array,
+                loop_weight: float = 5.0):
+    """Full SE(3) edge residuals.  x: (N, 6) = (t_abs, δθ) per node, with
+    rotation locally parameterized as R = R0·exp(δθ) around the stored node
+    rotation q0 (the boxplus the window solver uses too)."""
+    N = g.t.shape[0]
+    t = x[:, :3]
+    q = quat_mul(q0, so3_exp_quat(x[:, 3:]))              # (N,4)
+
+    i = jnp.arange(N - 1)
+    dt_est = quat_rotate_inv(q[i], t[i + 1] - t[i])
+    r_seq_t = (dt_est - g.seq_dt[i]) * g.seq_mask[i, None]
+    dq_est = quat_mul(quat_conj(q[i]), q[i + 1])
+    r_seq_r = so3_log_quat(quat_mul(quat_conj(g.seq_dq[i]), dq_est)) \
+        * g.seq_mask[i, None]
+
+    li, lj = g.loop_i, g.loop_j
+    dt_est_l = quat_rotate_inv(q[li], t[lj] - t[li])
+    r_loop_t = (dt_est_l - g.loop_dt) * (loop_weight * g.loop_mask[:, None])
+    dq_est_l = quat_mul(quat_conj(q[li]), q[lj])
+    r_loop_r = so3_log_quat(quat_mul(quat_conj(g.loop_dq), dq_est_l)) \
+        * (loop_weight * g.loop_mask[:, None])
+
+    # gauge: pin node 0 at its stored pose (position and rotation tangent)
+    r_fix = 100.0 * jnp.concatenate([x[0, :3] - g.t[0], x[0, 3:]])
+    return jnp.concatenate([
+        r_seq_t.reshape(-1), r_seq_r.reshape(-1),
+        r_loop_t.reshape(-1), r_loop_r.reshape(-1), r_fix])
+
+
 def optimize_posegraph(g: PoseGraph, iters: int = 10,
-                       cg_iters: int = 50) -> PoseGraph:
+                       cg_iters: int = 50,
+                       four_dof: bool = True) -> PoseGraph:
     """Damped GN, normal equations solved by matrix-free CG.
 
-    Hv = Jᵀ(Jv) is computed with one jvp + one vjp through `_residuals` —
-    O(edges) per CG step, no materialized Jacobian.
+    Hv = Jᵀ(Jv) is computed with one jvp + one vjp through the residual
+    function — O(edges) per CG step, no materialized Jacobian.
+    `four_dof=True` optimizes (t, yaw) per node (VINS-style, pitch/roll
+    gravity-pinned); `four_dof=False` optimizes full SE(3).
     """
+    if not four_dof:
+        return _optimize_posegraph6(g, iters, cg_iters)
     N = g.t.shape[0]
     x0 = jnp.concatenate([g.t, g.ypr[:, :1]], axis=-1)    # (N,4)
 
@@ -177,6 +232,41 @@ def optimize_posegraph(g: PoseGraph, iters: int = 10,
     x, costs = jax.lax.scan(gn_step, x0, None, length=iters)
     new_ypr = jnp.stack([x[:, 3], g.ypr[:, 1], g.ypr[:, 2]], -1)
     return g._replace(t=x[:, :3], ypr=new_ypr)
+
+
+def _optimize_posegraph6(g: PoseGraph, iters: int, cg_iters: int
+                         ) -> PoseGraph:
+    """6-DoF variant: same GN+CG machinery over (N, 6) local coords.
+
+    Each GN iteration re-centers the rotation parameterization (q0 ← q0·
+    exp(δθ), δθ ← 0) so exp stays near identity and the linearization is
+    well-conditioned even for large loop corrections."""
+    N = g.t.shape[0]
+    q0_init = mat_to_quat(ypr_to_mat(g.ypr))              # (N,4)
+    x0 = jnp.concatenate([g.t, jnp.zeros((N, 3), g.t.dtype)], axis=-1)
+
+    def gn_step(carry, _):
+        x, q0 = carry
+        f = lambda xx: _residuals6(xx, g, q0)
+        r = f(x)
+        _, vjp = jax.vjp(f, x)
+        grad = vjp(r)[0]
+
+        def Hv(v):
+            _, jv = jax.jvp(f, (x,), (v,))
+            hv = vjp(jv)[0]
+            return hv + 1e-4 * v                          # LM damping
+
+        dx = _cg(Hv, -grad, cg_iters)
+        mask = g.node_mask[:, None]
+        x = x + jnp.where(mask, dx, 0.0)
+        # re-center: fold the rotation tangent into q0
+        q0 = quat_mul(q0, so3_exp_quat(x[:, 3:]))
+        x = x.at[:, 3:].set(0.0)
+        return (x, q0), jnp.sum(r * r)
+
+    (x, q0), _ = jax.lax.scan(gn_step, (x0, q0_init), None, length=iters)
+    return g._replace(t=x[:, :3], ypr=mat_to_ypr(quat_to_mat(q0)))
 
 
 def _cg(Av, b, iters: int):

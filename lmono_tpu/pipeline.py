@@ -64,7 +64,8 @@ class SlamSystem:
         self.mapper: Optional[MapBuilder] = (
             MapBuilder(self.cam, cfg.mapping) if enable_mapping else None)
         self._opt_graph = (jax.jit(lambda g: optimize_posegraph(
-            g, iters=cfg.loop.posegraph_iters)) if enable_loop else None)
+            g, iters=cfg.loop.posegraph_iters,
+            four_dof=cfg.loop.posegraph_4dof)) if enable_loop else None)
 
         Kw = cfg.loop.window_points
 
@@ -126,7 +127,17 @@ class SlamSystem:
             z = jnp.where(has_lidar, z_lidar, z_tri)
             pts_w = cam_pose.apply(ray * z[:, None])
             sel_pnp = sel & (has_lidar | has_tri)
-            return (pts_w[:Kw], norm[:Kw], uv[:Kw], sel[:Kw], sel_pnp[:Kw])
+            if Kw >= sel.shape[0]:
+                return (pts_w[:Kw], norm[:Kw], uv[:Kw], sel[:Kw],
+                        sel_pnp[:Kw])
+            # Kw < max_tracks: keep the BEST Kw landmarks, not the first Kw
+            # slot rows — rank by (selected, PnP-usable, track length) so a
+            # smaller loop-lane budget still carries the strongest features.
+            track_len = jnp.sum(feats.obs_mask, axis=1).astype(jnp.float32)
+            score = (sel.astype(jnp.float32) * 1e6
+                     + sel_pnp.astype(jnp.float32) * 1e3 + track_len)
+            idx = jax.lax.top_k(score, Kw)[1]
+            return (pts_w[idx], norm[idx], uv[idx], sel[idx], sel_pnp[idx])
 
         self._extract_landmarks = jax.jit(extract_landmarks)
 

@@ -175,3 +175,52 @@ def test_loop_detector_end_to_end_revisit():
     # keyframes are 6.4 m apart on this lap; a genuine revisit can match a
     # keyframe up to ~1.5 spacings away
     assert relt < 12.0, f"relative translation too large {relt}"
+
+
+def test_posegraph_6dof_nonplanar():
+    """Non-planar circuit with a constant local-frame odometry bias whose
+    rotation component is a ROLL — the drift mode the 4-DoF yaw-only
+    parameterization cannot express.  The 6-DoF path (posegraph_4dof=False)
+    must recover both position and full rotation; 4-DoF on the same graph
+    must leave the roll error in place (the discriminating check)."""
+    from lmono_tpu.utils.lie import (
+        mat_to_quat, quat_conj, quat_mul, so3_log_quat, ypr_to_mat)
+
+    N = 48
+    theta = np.linspace(0, 2 * np.pi, N)
+    gt_t = np.stack([10 * np.cos(theta), 10 * np.sin(theta),
+                     2.0 * np.sin(2 * theta)], -1).astype(np.float32)
+    gt_ypr = np.stack([theta + np.pi / 2, 0.25 * np.sin(theta),
+                       0.15 * np.cos(theta)], -1).astype(np.float32)
+    gt = [Pose(jnp.asarray(gt_t[i]),
+               mat_to_quat(ypr_to_mat(jnp.asarray(gt_ypr[i]))))
+          for i in range(N)]
+
+    # odometry: integrate gt relative motions with a constant local bias
+    bias = Pose(jnp.array([0.0, 0.015, 0.005]),
+                so3_exp_quat(jnp.array([0.004, 0.0, 0.0])))
+    odo = [gt[0]]
+    for i in range(1, N):
+        odo.append(odo[-1].compose(gt[i - 1].between(gt[i]).compose(bias)))
+
+    g = PoseGraph.empty(N, 16)
+    for p in odo:
+        g = graph_add_node(g, p)
+    g = graph_add_loop(g, N - 1, 0, gt[-1].between(gt[0]))
+
+    def pos_err(tt):
+        return np.linalg.norm(np.asarray(tt)[:N] - gt_t, axis=-1).max()
+
+    def rot_err(gg):
+        q_est = jax.vmap(lambda y: mat_to_quat(ypr_to_mat(y)))(gg.ypr)
+        return max(float(jnp.linalg.norm(so3_log_quat(
+            quat_mul(quat_conj(q_est[i]), gt[i].q)))) for i in range(N))
+
+    err0 = pos_err(jnp.stack([p.t for p in odo]))
+    g6 = optimize_posegraph(g, iters=20, cg_iters=200, four_dof=False)
+    g4 = optimize_posegraph(g, iters=20, cg_iters=200, four_dof=True)
+
+    assert pos_err(g6.t) < 0.25 * err0, (err0, pos_err(g6.t))
+    assert rot_err(g6) < 0.035, rot_err(g6)
+    # the discriminator: 4-DoF cannot correct the roll drift
+    assert rot_err(g6) < 0.6 * rot_err(g4), (rot_err(g6), rot_err(g4))

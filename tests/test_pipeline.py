@@ -44,3 +44,41 @@ def test_slam_system_short_run(tmp_path):
     # stage timers populated
     s = system.timer.summary()
     assert {"lidar", "track", "fuse", "map"} <= set(s.keys())
+
+
+def test_loop_lane_selects_best_landmarks_when_budget_small():
+    """window_points < max_tracks must carry the ALIVE landmarks, not the
+    first Kw slot rows (round-1 review: `pts_w[:Kw]` dropped arbitrary
+    landmarks)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg = synthetic_config()
+    cfg = cfg.replace(loop=dataclasses.replace(cfg.loop, window_points=32))
+    system = SlamSystem(cfg, enable_loop=True, enable_mapping=False)
+    w = system.estimator.state.window
+    M = w.feats.alive.shape[0]
+    w1 = w.t.shape[0]
+    assert cfg.loop.window_points < M
+
+    # only the LAST 40 feature slots are alive/observed — slot-order
+    # truncation would select 32 dead rows
+    live = jnp.arange(M) >= (M - 40)
+    feats = w.feats._replace(
+        alive=live,
+        obs_mask=jnp.tile(live[:, None], (1, w1)),
+        depth_ok=live,
+        inv_depth=jnp.full((M,), 0.1),
+    )
+    w = w._replace(feats=feats, count=jnp.asarray(w1, jnp.int32),
+                   initialized=jnp.ones((), bool))
+
+    R, Wh = cfg.lidar.num_rings, cfg.lidar.horiz_res
+    scan_points = jnp.zeros((R, Wh, 3))
+    scan_valid = jnp.zeros((R, Wh), bool)
+    pts_w, norm, uv, sel, sel_pnp = system._extract_landmarks(
+        w, scan_points, scan_valid)
+    assert pts_w.shape[0] == cfg.loop.window_points
+    assert bool(jnp.all(sel)), "selected landmarks include dead slots"
+    assert int(sel_pnp.sum()) == cfg.loop.window_points
