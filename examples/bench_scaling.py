@@ -1,13 +1,25 @@
-"""Distributed BA weak-scaling benchmark over a virtual device mesh.
+"""Distributed BA scaling benchmark over a virtual device mesh.
 
-Measures the keyframe-sharded pose-graph GN/CG step (the BASELINE.json
-config-5 workload: "keyframe/map-block-partitioned distributed BA") at
-1/2/4/8 devices with the problem size per device held constant, reporting
-scaling efficiency.  Runs on the forced-CPU 8-device mesh in this container;
-the same `make_distributed_step` program runs unchanged on a real multi-chip
-slice (the shardings map to ICI collectives).
+Measures the two sharded BA programs (BASELINE.json config-5 workload:
+"keyframe/map-block-partitioned distributed BA"):
 
-Usage:  python examples/bench_scaling.py [--nodes-per-dev 512]
+* landmark-sharded window fusion BA (`dist_window.make_sharded_solve`)
+* keyframe-sharded pose-graph BA (`dist_posegraph.make_sharded_posegraph_opt`)
+
+at 1/2/4/8 devices with the TOTAL problem size fixed (strong scaling).
+
+On this rig the 8 "devices" are virtual shards of ONE host CPU, so
+aggregate FLOPs cannot grow with device count — wall time at nd devices
+measures (total work + partition-induced work: collectives, duplicated
+pose-side factors, padding).  The meaningful number is therefore
+**partition efficiency** = t(1) / t(nd): the fraction of the ideal
+nd-device speedup that survives partitioning.  On a real slice the same
+program's collectives ride ICI (a few tens of KB per iteration — printed
+below), so this measurement bounds the scaling loss from everything
+*except* ICI latency.
+
+Usage: python examples/bench_scaling.py [--m-total 4096] [--nodes-total 4096]
+Writes SCALING.json at the repo root.
 """
 
 import os as _os
@@ -19,6 +31,7 @@ _os.environ["XLA_FLAGS"] = (_os.environ.get("XLA_FLAGS", "")
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
+import json
 import time
 
 import jax
@@ -27,58 +40,99 @@ jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp  # noqa: E402
 
-from lmono_tpu.config import LidarConfig  # noqa: E402
-from lmono_tpu.parallel import demo_inputs, make_distributed_step, make_mesh  # noqa: E402
-from lmono_tpu.parallel.dist_ba import graph_shardings  # noqa: E402
-from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+from lmono_tpu.config import EstimatorConfig  # noqa: E402
+from lmono_tpu.parallel import make_mesh  # noqa: E402
+from lmono_tpu.parallel.dist_ba import (  # noqa: E402
+    demo_graph,
+    demo_window,
+    graph_shardings,
+)
+from lmono_tpu.parallel.dist_posegraph import (  # noqa: E402
+    make_sharded_posegraph_opt,
+)
+from lmono_tpu.parallel.dist_window import (  # noqa: E402
+    make_sharded_solve,
+    window_shardings,
+)
 
 
-def bench(n_devices: int, nodes_per_dev: int, bank_per_dev: int,
-          reps: int = 5) -> float:
-    mesh = make_mesh(n_devices, axis="kf")
-    lidar_cfg = LidarConfig(num_rings=16, horiz_res=256,
-                            max_edge_features=128, max_planar_features=256)
-    step = make_distributed_step(mesh, lidar_cfg, axis="kf")
-    g, pts, rng, valid, query, bank, bank_mask = demo_inputs(
-        n_devices, lidar_cfg, nodes_per_dev=nodes_per_dev,
-        bank_per_dev=bank_per_dev)
-    shard = NamedSharding(mesh, P("kf"))
-    g = jax.tree.map(jax.device_put, g, graph_shardings(mesh, "kf"))
-    pts, rng, valid, bank, bank_mask = (
-        jax.device_put(x, shard) for x in (pts, rng, valid, bank, bank_mask))
-    query = jax.device_put(query, NamedSharding(mesh, P()))
-
-    out = step(g, pts, rng, valid, query, bank, bank_mask)
+def _time(fn, *args, reps: int = 8) -> float:
+    out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    ts = []
     for _ in range(reps):
-        out = step(g, pts, rng, valid, query, bank, bank_mask)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def bench_window(n_devices: int, m_total: int, reps: int = 8) -> float:
+    cfg = EstimatorConfig(window_size=10, max_tracks=m_total, gn_iters=4)
+    mesh = make_mesh(n_devices, axis="kf")
+    solve = make_sharded_solve(mesh, cfg, axis="kf")
+    win = demo_window(cfg)
+    win = jax.tree.map(jax.device_put, win, window_shardings(mesh, "kf"))
+    return _time(solve, win, reps=reps)
+
+
+def bench_posegraph(n_devices: int, nodes_total: int, reps: int = 8) -> float:
+    mesh = make_mesh(n_devices, axis="kf")
+    opt = make_sharded_posegraph_opt(mesh, iters=4, cg_iters=24, axis="kf")
+    g = demo_graph(n_devices, nodes_per_dev=nodes_total // n_devices)
+    g = jax.tree.map(jax.device_put, g, graph_shardings(mesh, "kf"))
+    return _time(opt, g, reps=reps)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--nodes-total", type=int, default=4096)
-    ap.add_argument("--bank-total", type=int, default=32768)
+    ap.add_argument("--m-total", type=int, default=768,
+                    help="total landmarks in the window BA")
+    ap.add_argument("--nodes-total", type=int, default=2048,
+                    help="total keyframe nodes in the pose graph")
     args = ap.parse_args()
 
-    # NOTE: the 8 'devices' here are virtual shards of ONE host CPU, so
-    # aggregate throughput cannot grow with device count.  The meaningful
-    # quantity on this rig is *partitioning overhead*: time of the sharded
-    # program vs the single-shard program on the SAME total problem.  On a
-    # real slice the same program's collectives ride ICI and the overhead
-    # measured here bounds the scaling loss.
-    print(f"{'devices':>8} {'nodes/dev':>10} {'ms/step':>9} "
-          f"{'partition overhead':>19}")
-    t1 = None
+    w1 = 11
+    P = 6 * w1 + 6
+    comm_win_kb = (P * P + P) * 4 * 2 / 1024          # psum of S + rhs per LM
+    comm_pg_kb = (args.nodes_total * 4 * 4 + 2 * 4) / 1024  # all_gather + psums / CG
+    print(f"window BA:  M={args.m_total} landmarks, W=10 "
+          f"(~{comm_win_kb:.1f} KB collective per LM attempt)")
+    print(f"pose graph: N={args.nodes_total} nodes "
+          f"(~{comm_pg_kb:.1f} KB collective per CG step)")
+    print(f"{'devices':>8} {'winBA ms':>10} {'eff':>6} "
+          f"{'posegraph ms':>13} {'eff':>6}")
+
+    rows = []
+    tw1 = tp1 = None
     for n in (1, 2, 4, 8):
-        t = bench(n, args.nodes_total // n, args.bank_total // n)
-        if t1 is None:
-            t1 = t
-        ovh = (t - t1) / t1
-        print(f"{n:8d} {args.nodes_total // n:10d} {t * 1e3:9.2f} "
-              f"{100 * ovh:18.1f}%")
+        tw = bench_window(n, args.m_total)
+        tp = bench_posegraph(n, args.nodes_total)
+        tw1 = tw1 or tw
+        tp1 = tp1 or tp
+        ew, ep = tw1 / tw, tp1 / tp
+        rows.append({"devices": n, "window_ms": tw * 1e3,
+                     "window_partition_eff": ew,
+                     "posegraph_ms": tp * 1e3,
+                     "posegraph_partition_eff": ep})
+        print(f"{n:8d} {tw * 1e3:10.2f} {100 * ew:5.0f}% "
+              f"{tp * 1e3:13.2f} {100 * ep:5.0f}%")
+
+    out = {
+        "note": ("strong scaling on a virtual CPU mesh: one host executes "
+                 "all shards, so ideal partition efficiency is 100% (flat "
+                 "time); on a real slice per-device work drops 1/nd and "
+                 "this efficiency bounds the non-ICI scaling loss"),
+        "m_total": args.m_total, "nodes_total": args.nodes_total,
+        "rows": rows,
+    }
+    path = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "SCALING.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
 
 
 if __name__ == "__main__":

@@ -43,8 +43,10 @@ def main():
     ap.add_argument("--out", type=str, default="/tmp")
     args = ap.parse_args()
 
-    cfg = kitti_config(args.seq)
-    ds = KittiSequence(args.root, args.seq, cfg.lidar)
+    ds = KittiSequence(args.root, args.seq, kitti_config().lidar)
+    # intrinsics + T_CL straight from the sequence's calib.txt (no
+    # hand-entered calibration; reference ships per-seq YAML copies instead)
+    cfg = ds.system_config()
     n = min(args.frames, len(ds)) if args.frames else len(ds)
     print(f"KITTI seq {args.seq:02d}: {n} frames")
 

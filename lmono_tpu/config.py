@@ -27,6 +27,13 @@ class LidarConfig:
     min_range: float = 1.0
     max_range: float = 80.0
     vertical_fov_deg: Tuple[float, float] = (-24.9, 2.0)   # KITTI HDL-64E
+    ring_mode: str = "auto"           # "auto": recover rings from the .bin's
+                                      # native scan order (exact), falling
+                                      # back to the HDL-64E two-block model;
+                                      # "hdl64": two-block elevation model;
+                                      # "uniform": uniform elevation split
+                                      # (synthetic scans).  auto/hdl64 apply
+                                      # only when num_rings == 64.
 
     # feature extraction (curvature-based edge/planar, per ring sector)
     curvature_half_window: int = 5    # +/- points used in curvature sum
@@ -110,7 +117,10 @@ class EstimatorConfig:
     prior_r: float = 1000.0
     laser_w: float = 2.0              # laser factor weight (laser_w)
     factor_weight: float = 1000.0     # global factor weight scale
-    outlier_reproj_px: float = 5.0    # outlier_t gate, px at virtual focal
+    outlier_reproj_px: float = 1.38   # outlier gate, px at virtual focal —
+                                      # equals the reference's
+                                      # ave_err·FACTOR_WEIGHT > 3 at f=460
+                                      # (Estimator.cc:455,179)
     min_track_cnt: int = 4            # track_cnt: min obs before use
     gn_iters: int = 12                # max LM attempts (≤30 Ceres iters in ref)
     lm_lambda_init: float = 1e-5      # initial LM damping on the scaled diag
@@ -247,11 +257,16 @@ KITTI00_T_LC = (
 
 
 def kitti_config(sequence: int = 0) -> SystemConfig:
-    """Preset mirroring the reference's per-sequence KITTI configs."""
-    cam = CameraConfig()
-    if sequence in (1, 2):  # KITTI 01/02 use the other calibration set
-        cam = CameraConfig(width=1241, height=376)
-    return SystemConfig(camera=cam, laser_to_camera=KITTI00_T_LC)
+    """KITTI preset with the seq-00 fallback calibration.
+
+    The reference ships hand-copied per-sequence YAMLs
+    (`kitti_config_{00..08}.yaml`); here the per-sequence intrinsics and
+    T_CL come straight from the dataset's own `calib.txt` via
+    `lmono_tpu.io.kitti.KittiSequence.system_config()` — use that when a
+    dataset root is available.  This preset only supplies the non-calib
+    knobs plus seq-00 constants for calib-less tests."""
+    del sequence  # calib differences are derived from calib.txt, not presets
+    return SystemConfig(camera=CameraConfig(), laser_to_camera=KITTI00_T_LC)
 
 
 def synthetic_config() -> SystemConfig:

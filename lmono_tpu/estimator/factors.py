@@ -12,7 +12,8 @@ prior), and `src/factor/MarginalizationFactor.cc:309-373` (linearized prior)
 
 Residual weighting matches the reference:
   laser:  sqrt_info = LASER_W · FACTOR_WEIGHT · I₆    (Estimator.cc:95)
-  reproj: sqrt_info = (FOCAL/1.5) · I₂ + Cauchy IRLS  (MonoProjectionFactor.cc:35)
+  reproj: sqrt_info = FACTOR_WEIGHT · I₂ + Cauchy(1) IRLS  (Estimator.cc:94,
+          loss at :1130 — the robust scale applies to the *weighted* residual)
   prior:  diag(PRIOR_T·I₃, PRIOR_R·I₃)
 """
 
@@ -109,7 +110,12 @@ def reprojection_residuals(t, q, ex_t, ex_q, inv_depth,
               & (frame_idx != anchor[:, None])
               & (frame_idx < state.count)
               & (z > 0.1))
-    w = cfg.focal_length / 1.5
+    # sqrt_info = FACTOR_WEIGHT · I₂ exactly as the reference sets it at
+    # Estimator.cc:94 (NOT focal-scaled): with factor_weight=1000 and
+    # laser sqrt_info = laser_w·factor_weight = 2000 (Estimator.cc:95), the
+    # laser:vision weight ratio is 2:1 per unit — this balance is what lets
+    # the vision factors actually pull pose error out of the laser odometry.
+    w = cfg.factor_weight
     return jnp.where(active[..., None], w * r, 0.0), active
 
 
@@ -175,7 +181,9 @@ def cauchy_weights(state: WindowState, cfg: EstimatorConfig):
     r, active = reprojection_residuals(
         state.t, state.q, state.ex_t, state.ex_q, state.feats.inv_depth,
         state, cfg)
-    # r already carries the focal scaling; Cauchy scale c=1 in scaled units
+    # r already carries the FACTOR_WEIGHT scaling; Cauchy scale c=1 applies
+    # to the weighted residual exactly like ceres::CauchyLoss(1.0) at
+    # Estimator.cc:1130
     s2 = jnp.sum(r * r, axis=-1)
     w = 1.0 / jnp.sqrt(1.0 + s2 / (cfg.cauchy_c ** 2))
     return jnp.where(active, jnp.sqrt(w), 0.0)

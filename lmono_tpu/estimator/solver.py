@@ -128,8 +128,11 @@ def outlier_rejection(state: WindowState, cfg: EstimatorConfig) -> WindowState:
     r, active = factors.reprojection_residuals(
         state.t, state.q, state.ex_t, state.ex_q, state.feats.inv_depth,
         state, cfg)
-    # r is scaled by FOCAL/1.5 ⇒ pixel err ≈ |r| · 1.5
-    err_px = jnp.linalg.norm(r, axis=-1) * 1.5
+    # r is scaled by FACTOR_WEIGHT ⇒ pixel error at the virtual focal is
+    # |r| / factor_weight · focal (the reference gates ave_err·FACTOR_WEIGHT
+    # directly, Estimator.cc:179,455)
+    err_px = jnp.linalg.norm(r, axis=-1) * (cfg.focal_length
+                                            / cfg.factor_weight)
     sum_err = jnp.sum(jnp.where(active, err_px, 0.0), axis=-1)
     cnt = jnp.maximum(jnp.sum(active, axis=-1), 1)
     mean_err = sum_err / cnt

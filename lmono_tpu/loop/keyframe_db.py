@@ -100,14 +100,28 @@ def db_add(db: KeyframeDB, codebook: jax.Array, *,
 
 def db_query(db: KeyframeDB, codebook: jax.Array, desc, kp_mask,
              cur_seq, cur_time, cfg: LoopConfig, top_k: int = 4):
-    """Query: cosine scores, excluding the last `search_gap` keyframes and
-    anything newer than `search_time` seconds before the query
-    (reference `detectLoop`, LoopDetector.cc:167-260).
+    """Query: tf-idf-weighted cosine scores, excluding the last `search_gap`
+    keyframes and anything newer than `search_time` seconds before the query
+    (reference `detectLoop`, LoopDetector.cc:167-260; DBoW2's vocabulary
+    carries idf weights the same way, `TemplatedVocabulary.h` TF_IDF).
+
+    idf downweights vocabulary buckets that fire in most keyframes (ground,
+    sky, repeated façades) — the buckets that cause perceptual aliasing —
+    and is recomputed from the live bank each query (one O(C·dim) pass, the
+    same cost as the score matmul itself).
 
     Returns (scores (top_k,), slots (top_k,), mask (top_k,)).
     """
     g = global_descriptor(desc, kp_mask, codebook)
-    scores = db.gdesc @ g                              # (C,)
+    n_valid = jnp.sum(db.valid).astype(jnp.float32)
+    df = jnp.sum((db.gdesc > 0) & db.valid[:, None], axis=0)       # (dim,)
+    idf = jnp.log((1.0 + n_valid) / (1.0 + df.astype(jnp.float32)))
+    bank = db.gdesc * idf[None, :]
+    bank = bank / jnp.maximum(
+        jnp.linalg.norm(bank, axis=1, keepdims=True), 1e-6)
+    qv = g * idf
+    qv = qv / jnp.maximum(jnp.linalg.norm(qv), 1e-6)
+    scores = bank @ qv                                             # (C,)
     old_enough = (cur_seq - db.seq > cfg.search_gap) \
         & (cur_time - db.time > cfg.search_time)
     ok = db.valid & old_enough

@@ -32,13 +32,13 @@ def load_native() -> Optional[ctypes.CDLL]:
     lib.lmono_regrid.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
         ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_float,
-        ctypes.c_float, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_float, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8)]
     lib.lmono_loader_create.restype = ctypes.c_void_p
     lib.lmono_loader_create.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
-        ctypes.c_int]
+        ctypes.c_int, ctypes.c_int]
     lib.lmono_loader_next.restype = ctypes.c_int
     lib.lmono_loader_next.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
@@ -60,6 +60,13 @@ def _u8p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
+_RING_MODES = {"uniform": 0, "hdl64": 1, "auto": 2}
+
+
+def _ring_mode_int(cfg: LidarConfig) -> int:
+    return _RING_MODES[getattr(cfg, "ring_mode", "auto")]
+
+
 def regrid(xyz4: np.ndarray, cfg: LidarConfig) -> dict:
     """(N,4) velodyne buffer → {ranges, points, valid} fixed grids.
 
@@ -69,7 +76,8 @@ def regrid(xyz4: np.ndarray, cfg: LidarConfig) -> dict:
     lib = load_native()
     if lib is None:
         from lmono_tpu.io.kitti import scan_to_range_image
-        return scan_to_range_image(np.ascontiguousarray(xyz4[:, :3]), cfg)
+        return scan_to_range_image(np.ascontiguousarray(xyz4), cfg,
+                                   ring_mode=getattr(cfg, "ring_mode", "auto"))
     xyz4 = np.ascontiguousarray(xyz4, np.float32)
     R, W = cfg.num_rings, cfg.horiz_res
     ranges = np.empty((R, W), np.float32)
@@ -77,7 +85,7 @@ def regrid(xyz4: np.ndarray, cfg: LidarConfig) -> dict:
     valid = np.empty((R, W), np.uint8)
     lib.lmono_regrid(_fp(xyz4), len(xyz4), R, W,
                      cfg.vertical_fov_deg[0], cfg.vertical_fov_deg[1],
-                     cfg.min_range, cfg.max_range,
+                     cfg.min_range, cfg.max_range, _ring_mode_int(cfg),
                      _fp(ranges), _fp(points), _u8p(valid))
     return {"ranges": ranges, "points": points, "valid": valid.astype(bool)}
 
@@ -96,7 +104,7 @@ class NativeScanLoader:
             self._h = self._lib.lmono_loader_create(
                 velo_dir.encode(), n_frames, cfg.num_rings, cfg.horiz_res,
                 cfg.vertical_fov_deg[0], cfg.vertical_fov_deg[1],
-                cfg.min_range, cfg.max_range, prefetch)
+                cfg.min_range, cfg.max_range, _ring_mode_int(cfg), prefetch)
         else:
             self._h = None
 

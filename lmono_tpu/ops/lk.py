@@ -89,7 +89,9 @@ def track_pyramid(pyr0: Sequence, grads0: Sequence, pyr1: Sequence,
         p0_l = pts0 / s
         img0, img1 = pyr0[lvl], pyr1[lvl]
         ix0, iy0 = grads0[lvl]
-        if use_pallas:
+        # Mosaic's dynamic_rotate needs a 128-lane-aligned image row; tiny
+        # pyramid levels (small cameras) fall back to the vmapped kernel
+        if use_pallas and img0.shape[1] >= 128:
             guess, conv = lk_level_pallas(img0, ix0, iy0, img1, p0_l, guess,
                                           patch=patch, iters=iters)
         else:

@@ -149,6 +149,32 @@ class SlamSystem:
         self._raw_poses: list = []      # fused laser pose per frame (uncorrected)
         self._node_frames: list = []    # frame index of each pose-graph node
         self._node_raw_cam: list = []   # corrected-at-the-time cam pose per node
+        # push-based stream front (MeasurementManager parity): scans and
+        # images arrive on independent clocks and are paired by timestamp
+        from lmono_tpu.io.sync import MeasurementSync
+        self.sync = MeasurementSync(delay_time=cfg.estimator.delay_time)
+
+    # ------------------------------------------------------------------
+    # Push-based streaming front (replaces the reference's ROS-topic intake:
+    # `MeasurementManager::GetMeasurements` pairing, MeasurementManager.cc:
+    # 69-110).  Scans and images may arrive out of order, duplicated, or
+    # dropped; `process_pending` drains every currently pairable frame.
+    def push_image(self, t: float, image) -> None:
+        self.sync.push_image(t, image)
+
+    def push_scan(self, t: float, scan: dict) -> None:
+        """scan = {points, ranges, valid} — the laser stream (the reference
+        consumes A-LOAM's odometry topic; here odometry is computed in-lane
+        from the paired scan)."""
+        self.sync.push_odometry(t, scan)
+
+    def process_pending(self) -> list:
+        """Pair queued streams by timestamp and run `process` on each pair
+        (in time order).  Returns the list of per-frame output dicts."""
+        outs = []
+        for t_img, image, scan in self.sync.get_measurements():
+            outs.append(self.process(scan, image, time=t_img))
+        return outs
 
     # ------------------------------------------------------------------
     def process(self, scan: dict, image, time: Optional[float] = None) -> dict:

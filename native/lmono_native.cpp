@@ -10,6 +10,7 @@
 //
 // Build: make -C native  (produces libmono_native.so)
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <condition_variable>
@@ -31,7 +32,80 @@ struct GridCfg {
   float vfov_hi_deg;
   float min_range;
   float max_range;
+  int ring_mode;  // 0=uniform elevation, 1=hdl64 two-block, 2=auto
+                  // (scan-order recovery, hdl64 fallback; needs rings==64)
 };
+
+// HDL-64E S2 two-block vertical layout (matches io/kitti.py constants):
+// upper 32 lasers +2.0°…−8.33° at 1/3° steps, lower 32 −8.83°…−24.33° at
+// 1/2° steps.  A uniform split mis-assigns nearly every lower-block point.
+inline int hdl64_ring(float elev_rad) {
+  const float deg = elev_rad * 180.f / (float)M_PI;
+  int ring;
+  if (deg > -8.58f) {
+    ring = (int)std::lround((2.0f - deg) * 3.0f);          // 1/3° steps
+  } else {
+    ring = 32 + (int)std::lround((-8.83f - deg) * 2.0f);   // 1/2° steps
+  }
+  return ring < 0 ? 0 : (ring > 63 ? 63 : ring);
+}
+
+// Ring recovery from the .bin's native laser-major point order: each ring
+// sweeps a full azimuth circle, so ring boundaries are |Δazimuth| > π jumps
+// (exact regardless of elevation calibration; mirrors io/kitti.py
+// recover_rings_scanorder).  Returns false if the detected ring count is
+// implausible — caller falls back to the elevation model.
+bool recover_rings_scanorder(const float* xyz, int64_t n_pts, int num_rings,
+                             std::vector<int>& ring_out) {
+  if (n_pts < num_rings * 8) return false;
+  std::vector<int64_t> boundaries;
+  float prev = std::atan2(xyz[1], xyz[0]);
+  for (int64_t i = 1; i < n_pts; ++i) {
+    const float a = std::atan2(xyz[i * 4 + 1], xyz[i * 4 + 0]);
+    if (std::fabs(a - prev) > (float)M_PI) boundaries.push_back(i);
+    prev = a;
+  }
+  const int64_t n_rings = (int64_t)boundaries.size() + 1;
+  if (n_rings < (int64_t)(0.8 * num_rings) ||
+      n_rings > (int64_t)(1.5 * num_rings))
+    return false;
+  ring_out.assign(n_pts, 0);
+  int seg = 0;
+  int64_t next_b = boundaries.empty() ? n_pts : boundaries[0];
+  size_t bi = 0;
+  for (int64_t i = 0; i < n_pts; ++i) {
+    if (i == next_b) {
+      ++seg;
+      ++bi;
+      next_b = bi < boundaries.size() ? boundaries[bi] : n_pts;
+    }
+    ring_out[i] = seg;
+  }
+  if (n_rings > num_rings) {
+    // merge spurious splits: drop the (n_rings - num_rings) shortest
+    // segments, renumbering the rest (mirror of the python logic)
+    std::vector<int64_t> seg_len(n_rings, 0);
+    for (int64_t i = 0; i < n_pts; ++i) seg_len[ring_out[i]]++;
+    std::vector<int> order(n_rings);
+    for (int i = 0; i < (int)n_rings; ++i) order[i] = i;
+    std::sort(order.begin(), order.end(), [&](int a, int b) {
+      return seg_len[a] != seg_len[b] ? seg_len[a] < seg_len[b] : a < b;
+    });
+    std::vector<uint8_t> keep(n_rings, 1);
+    for (int64_t k = 0; k < n_rings - num_rings; ++k) keep[order[k]] = 0;
+    std::vector<int> remap(n_rings, 0);
+    int acc = -1;
+    for (int64_t i = 0; i < n_rings; ++i) {
+      if (keep[i]) ++acc;
+      remap[i] = acc < 0 ? 0 : acc;
+    }
+    for (int64_t i = 0; i < n_pts; ++i) {
+      int r = remap[ring_out[i]];
+      ring_out[i] = r < 0 ? 0 : (r >= num_rings ? num_rings - 1 : r);
+    }
+  }
+  return true;
+}
 
 // Regrid a raw (n,4) velodyne float buffer into (rings, W) range image.
 // Closest point per cell wins.  Parallel over input chunks with per-thread
@@ -45,6 +119,15 @@ void regrid(const float* xyz, int64_t n_pts, const GridCfg& cfg,
   std::fill(ranges, ranges + cells, 0.f);
   std::fill(points, points + cells * 3, 0.f);
   std::fill(valid, valid + cells, 0);
+
+  std::vector<int> rings_rec;
+  bool have_rec = false;
+  bool use_hdl64 = false;
+  if (R == 64 && cfg.ring_mode == 2)
+    have_rec = recover_rings_scanorder(xyz, n_pts, R, rings_rec);
+  if (R == 64 && !have_rec &&
+      (cfg.ring_mode == 1 || cfg.ring_mode == 2))
+    use_hdl64 = true;
 
   int n_threads = std::max(1u, std::thread::hardware_concurrency());
   if (n_pts < 20000) n_threads = 1;
@@ -63,7 +146,13 @@ void regrid(const float* xyz, int64_t n_pts, const GridCfg& cfg,
       const float r = std::sqrt(x * x + y * y + z * z);
       if (r <= cfg.min_range || r >= cfg.max_range) continue;
       const float elev = std::asin(z / r);
-      int ring = (int)std::lround((hi - elev) / (hi - lo) * (R - 1));
+      int ring;
+      if (have_rec)
+        ring = rings_rec[i];
+      else if (use_hdl64)
+        ring = hdl64_ring(elev);
+      else
+        ring = (int)std::lround((hi - elev) / (hi - lo) * (R - 1));
       if (ring < 0 || ring >= R) continue;
       const float azim = std::atan2(y, x);
       // centered binning, consistent with io/kitti.py scan_to_range_image
@@ -169,21 +258,25 @@ struct Loader {
 extern "C" {
 
 // ---- one-shot regrid ------------------------------------------------------
+// ring_mode: 0=uniform elevation, 1=hdl64 two-block, 2=auto (scan-order
+// recovery with hdl64 fallback; applies when rings==64).
 void lmono_regrid(const float* xyz, int64_t n_pts, int rings, int width,
                   float vfov_lo_deg, float vfov_hi_deg, float min_range,
-                  float max_range, float* ranges_out, float* points_out,
-                  uint8_t* valid_out) {
-  GridCfg cfg{rings, width, vfov_lo_deg, vfov_hi_deg, min_range, max_range};
+                  float max_range, int ring_mode, float* ranges_out,
+                  float* points_out, uint8_t* valid_out) {
+  GridCfg cfg{rings,     width,     vfov_lo_deg, vfov_hi_deg,
+              min_range, max_range, ring_mode};
   regrid(xyz, n_pts, cfg, ranges_out, points_out, valid_out);
 }
 
 // ---- prefetching loader ---------------------------------------------------
 void* lmono_loader_create(const char* dir, int n_frames, int rings, int width,
                           float vfov_lo_deg, float vfov_hi_deg,
-                          float min_range, float max_range, int prefetch) {
+                          float min_range, float max_range, int ring_mode,
+                          int prefetch) {
   auto* ld = new Loader();
-  ld->cfg = GridCfg{rings, width, vfov_lo_deg, vfov_hi_deg, min_range,
-                    max_range};
+  ld->cfg = GridCfg{rings,     width,     vfov_lo_deg, vfov_hi_deg,
+                    min_range, max_range, ring_mode};
   ld->dir = dir;
   ld->n_frames = n_frames;
   ld->prefetch = prefetch > 0 ? prefetch : 4;

@@ -58,8 +58,11 @@ def test_sharded_solve_matches_single_device():
     assert int(diag.iters) == int(ref_diag.iters)
     np.testing.assert_allclose(float(diag.cost0), float(ref_diag.cost0),
                                rtol=1e-4)
+    # at convergence both costs sit at the f32 noise floor (≪ cost0);
+    # compare with an absolute floor tolerance, not pure rtol
     np.testing.assert_allclose(float(diag.cost1), float(ref_diag.cost1),
-                               rtol=1e-3, atol=1e-6)
+                               rtol=1e-3, atol=1e-4)
+    assert float(diag.cost1) < 1e-3 * float(diag.cost0)
 
     np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t),
                                rtol=1e-4, atol=1e-4)

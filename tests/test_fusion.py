@@ -73,13 +73,68 @@ def test_fusion_end_to_end():
     err = ate_rmse(est_traj, gt, align=True)
     laser_traj = pose_stack(laser)
     err_laser = ate_rmse(laser_traj, gt, align=True)
-    # fused trajectory must stay sane and not blow up vs its odometry input
-    assert err < max(2.0 * err_laser, 0.08), \
+    # under unbiased random-walk odometry noise fusion holds parity (the
+    # decisive fusion-wins case is test_fusion_beats_drifting_laser below)
+    assert err < max(1.2 * err_laser, 0.05), \
         f"fusion ATE {err} vs laser {err_laser}"
     # extrinsic must not drift away from truth while refining
     ex = outs[-1].extrinsic
     assert float(jnp.linalg.norm(ex.t - T_CL.t)) < 0.08
     assert float(jnp.linalg.norm(boxminus(T_CL.q, ex.q))) < 0.03
+
+
+def _drifting_laser(traj, n, key, t_std=0.004, r_std=0.0015,
+                    yaw_bias=0.002):
+    """Laser odometry with a systematic per-step yaw bias — the dominant
+    real failure mode of scan-matching odometry (and the error source the
+    reference fuses a camera to fix)."""
+    poses = [Pose(traj.t[0], traj.q[0])]
+    rb = jnp.array([0.0, 0.0, yaw_bias])
+    for i in range(1, n):
+        prev_gt = Pose(traj.t[i - 1], traj.q[i - 1])
+        cur_gt = Pose(traj.t[i], traj.q[i])
+        rel = prev_gt.between(cur_gt)
+        k1, k2, key = jax.random.split(jax.random.fold_in(key, i), 3)
+        rel_n = Pose(
+            rel.t + t_std * jax.random.normal(k1, (3,)),
+            quat_normalize(quat_mul(rel.q, so3_exp_quat(
+                rb + r_std * jax.random.normal(k2, (3,))))),
+        )
+        poses.append(poses[-1].compose(rel_n))
+    return poses
+
+
+@pytest.mark.slow
+def test_fusion_beats_drifting_laser():
+    """The reference's raison d'être: visual features must pull systematic
+    rotation drift out of the laser odometry.  Fused ATE must beat the
+    laser-only ATE decisively (measured ratios 0.14–0.27 across seeds)."""
+    n = 40
+    traj = syn.circuit_trajectory(n)
+    T_CL = syn.synthetic_T_CL()
+    cam_cfg = CFG.camera
+    cam = pinhole_camera(cam_cfg.width, cam_cfg.height, cam_cfg.fx,
+                         cam_cfg.fy, cam_cfg.cx, cam_cfg.cy)
+    ecfg = dataclasses.replace(CFG.estimator, window_size=6, max_tracks=96,
+                               estimate_laser=1, fine_times=1000)
+    tracker = FeatureTracker(cam, CFG.tracker, cam_cfg.height, cam_cfg.width)
+    est = FusionEstimator(ecfg, T_CL, n_tracks=CFG.tracker.max_features)
+
+    laser = _drifting_laser(traj, n, jax.random.PRNGKey(0))
+    outs = []
+    for i in range(n):
+        pose_wl = Pose(traj.t[i], traj.q[i])
+        img = syn.render_camera(SCENE, pose_wl.compose(T_CL.inverse()),
+                                cam_cfg)
+        outs.append(est.process(tracker.process(img), laser[i]))
+
+    est_traj = pose_stack([o.pose for o in outs])
+    gt = Pose(traj.t[:n], traj.q[:n])
+    err = ate_rmse(est_traj, gt, align=True)
+    err_laser = ate_rmse(pose_stack(laser), gt, align=True)
+    assert err < err_laser, f"fusion {err} did not beat laser {err_laser}"
+    assert err < 0.6 * err_laser, \
+        f"fusion ATE {err} vs laser {err_laser} — improvement too weak"
 
 
 @pytest.mark.slow

@@ -82,3 +82,63 @@ def test_loop_lane_selects_best_landmarks_when_budget_small():
     assert pts_w.shape[0] == cfg.loop.window_points
     assert bool(jnp.all(sel)), "selected landmarks include dead slots"
     assert int(sel_pnp.sum()) == cfg.loop.window_points
+
+
+@pytest.mark.slow
+def test_push_based_streams_match_paired_input():
+    """MeasurementManager-parity front: scans/images pushed out of sync —
+    images racing ahead, odometry bursts, one dropped scan, one duplicated
+    image — must yield the SAME trajectory as feeding the surviving pairs
+    directly (pairing is deterministic, so bitwise-equal poses)."""
+    cfg = synthetic_config()
+    scene = syn.make_city_scene()
+    T_CL = syn.synthetic_T_CL()
+    cfg = cfg.replace(laser_to_camera=tuple(
+        np.asarray(T_CL.to_mat4()).reshape(-1).tolist()))
+    n = 10
+    traj = syn.circuit_trajectory(n)
+    frames = []
+    for i in range(n):
+        pose_wl = Pose(traj.t[i], traj.q[i])
+        scan = syn.simulate_lidar(scene, pose_wl, cfg.lidar, noise_std=0.01,
+                                  key=jax.random.PRNGKey(i))
+        img = syn.render_camera(
+            scene, pose_wl.compose(T_CL.inverse()), cfg.camera)
+        frames.append((i * 0.1, scan, img))
+
+    DROP_SCAN = 4       # scan 4 never arrives → its image must be discarded
+
+    # --- streamed system: skewed interleaving --------------------------
+    sys_stream = SlamSystem(cfg, enable_loop=False, enable_mapping=False)
+    outs = []
+    for i, (t, scan, img) in enumerate(frames):
+        # images race 2 frames ahead of the laser stream
+        sys_stream.push_image(t, img)
+        if i == 2:
+            sys_stream.push_image(t, img)          # duplicated image
+        if i >= 2:
+            tl, scl, _ = frames[i - 2]
+            if i - 2 != DROP_SCAN:
+                sys_stream.push_scan(tl, scl)
+        outs.extend(sys_stream.process_pending())
+    # flush the lagging laser stream
+    for j in (n - 2, n - 1):
+        t, scan, _ = frames[j]
+        sys_stream.push_scan(t, scan)
+        outs.extend(sys_stream.process_pending())
+
+    # --- reference system: direct pairs, skipping the dropped frame ----
+    sys_direct = SlamSystem(cfg, enable_loop=False, enable_mapping=False)
+    ref = []
+    for i, (t, scan, img) in enumerate(frames):
+        if i == DROP_SCAN:
+            continue
+        ref.append(sys_direct.process(scan, img, time=t))
+
+    assert len(outs) == len(ref) == n - 1
+    assert sys_stream.sync.n_dropped_images >= 1   # dup + orphaned image
+    for a, b in zip(outs, ref):
+        np.testing.assert_array_equal(np.asarray(a["pose"].t),
+                                      np.asarray(b["pose"].t))
+        np.testing.assert_array_equal(np.asarray(a["pose"].q),
+                                      np.asarray(b["pose"].q))

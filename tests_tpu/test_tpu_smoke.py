@@ -1,0 +1,72 @@
+"""TPU-path numerics: the two Pallas kernels + one fused dispatch, checked
+against their CPU/XLA reference implementations on the real chip
+(VERDICT r1 #10 — Pallas regressions must not be discovered only through
+bench ATE drift)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_pallas_knn_matches_xla():
+    from lmono_tpu.ops.knn import knn
+    from lmono_tpu.ops.pallas.knn import knn_pallas
+
+    Q, M, k = 512, 8192, 5
+    q = jax.random.normal(jax.random.PRNGKey(0), (Q, 3)) * 30
+    t = jax.random.normal(jax.random.PRNGKey(1), (M, 3)) * 30
+    mask = jax.random.bernoulli(jax.random.PRNGKey(2), 0.9, (M,))
+
+    d_ref, i_ref = jax.jit(lambda q, t, m: knn(q, t, m, k))(q, t, mask)
+    d_pal, i_pal = jax.jit(lambda q, t, m: knn_pallas(q, t, m, k))(q, t, mask)
+    jax.block_until_ready((d_pal, i_pal))
+    # same neighbor sets: distances must agree (indices may differ on ties)
+    np.testing.assert_allclose(np.sort(np.asarray(d_pal), axis=1),
+                               np.sort(np.asarray(d_ref), axis=1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_lk_matches_vmapped():
+    from lmono_tpu.ops.image import scharr_gradients
+    from lmono_tpu.ops.lk import lk_level
+    from lmono_tpu.ops.pallas.lk import lk_level_pallas
+
+    H, W, N = 256, 512, 64
+    img0 = jax.random.uniform(jax.random.PRNGKey(0), (H, W))
+    # pure translation: both trackers must find ~(2, 1)
+    img1 = jnp.roll(img0, (1, 2), (0, 1))
+    ix, iy = scharr_gradients(img0)
+    pts = jnp.stack(
+        [jax.random.uniform(jax.random.PRNGKey(1), (N,)) * (W - 80) + 40,
+         jax.random.uniform(jax.random.PRNGKey(2), (N,)) * (H - 80) + 40], -1)
+
+    flow_p, ok_p = jax.jit(lambda p: lk_level_pallas(
+        img0, ix, iy, img1, p, p, patch=21, iters=10))(pts)
+    f_vm = jax.jit(lambda p: jax.vmap(
+        lambda p0: lk_level(img0, ix, iy, img1, p0, p0, 21, 10, 0.01))(p))
+    flow_v, ok_v, _ = f_vm(pts)
+    jax.block_until_ready((flow_p, flow_v))
+
+    both = np.asarray(ok_p) & np.asarray(ok_v)
+    assert both.mean() > 0.8
+    np.testing.assert_allclose(np.asarray(flow_p)[both],
+                               np.asarray(flow_v)[both], atol=0.05)
+    # and the flow is the injected translation
+    d = np.asarray(flow_p)[both] - np.asarray(pts)[both]
+    np.testing.assert_allclose(d.mean(0), [2.0, 1.0], atol=0.1)
+
+
+def test_fused_dispatch_numerics_vs_cpu_golden():
+    """One jitted window solve on the chip vs the same solve math's known
+    cost-reduction behavior (the full CPU comparison lives in tests/)."""
+    from lmono_tpu.config import EstimatorConfig
+    from lmono_tpu.estimator.solver import solve_window
+    from lmono_tpu.parallel.dist_ba import demo_window
+
+    cfg = EstimatorConfig(window_size=6, max_tracks=48, gn_iters=8)
+    win = demo_window(cfg)
+    out, diag = jax.jit(lambda s: solve_window(s, cfg))(win)
+    jax.block_until_ready(out)
+    assert bool(jnp.isfinite(diag.cost1))
+    assert float(diag.cost1) < 1e-3 * float(diag.cost0)
+    assert bool(jnp.all(jnp.isfinite(out.t)))
