@@ -78,6 +78,27 @@ def bench_window(n_devices: int, m_total: int, reps: int = 8) -> float:
     return _time(solve, win, reps=reps)
 
 
+def bench_window_dense(m_total: int, reps: int = 8) -> float:
+    """Apples-to-apples 1-device column: the DENSE single-device solver
+    (`solver.solve_window`, full-J jacfwd) on the identical problem."""
+    from lmono_tpu.estimator.solver import solve_window
+
+    cfg = EstimatorConfig(window_size=10, max_tracks=m_total, gn_iters=4)
+    win = demo_window(cfg)
+    solve = jax.jit(lambda w: solve_window(w, cfg))
+    return _time(solve, win, reps=reps)
+
+
+def bench_posegraph_single(nodes_total: int, reps: int = 8) -> float:
+    """Apples-to-apples 1-device column: `optimize_posegraph` (no
+    shard_map, no collectives) on the identical graph."""
+    from lmono_tpu.loop.posegraph import optimize_posegraph
+
+    g = demo_graph(8, nodes_per_dev=nodes_total // 8)
+    opt = jax.jit(lambda g: optimize_posegraph(g, iters=4, cg_iters=24))
+    return _time(opt, g, reps=reps)
+
+
 def bench_posegraph(n_devices: int, nodes_total: int, reps: int = 8) -> float:
     mesh = make_mesh(n_devices, axis="kf")
     opt = make_sharded_posegraph_opt(mesh, iters=4, cg_iters=24, axis="kf")
@@ -96,12 +117,19 @@ def main():
 
     w1 = 11
     P = 6 * w1 + 6
+    L, D = 16, 8
     comm_win_kb = (P * P + P) * 4 * 2 / 1024          # psum of S + rhs per LM
-    comm_pg_kb = (args.nodes_total * 4 * 4 + 2 * 4) / 1024  # all_gather + psums / CG
+    comm_pg_kb = ((2 * L + 1 + D) * 6 * 4 + 2 * 4) / 1024  # row-pack + pdots
     print(f"window BA:  M={args.m_total} landmarks, W=10 "
           f"(~{comm_win_kb:.1f} KB collective per LM attempt)")
     print(f"pose graph: N={args.nodes_total} nodes "
-          f"(~{comm_pg_kb:.1f} KB collective per CG step)")
+          f"(~{comm_pg_kb:.2f} KB collective per CG step — O(L+D), "
+          f"independent of N)")
+
+    tw_dense = bench_window_dense(args.m_total)
+    tp_single = bench_posegraph_single(args.nodes_total)
+    print(f"1-device dense solve_window:   {tw_dense * 1e3:10.2f} ms")
+    print(f"1-device optimize_posegraph:   {tp_single * 1e3:10.2f} ms")
     print(f"{'devices':>8} {'winBA ms':>10} {'eff':>6} "
           f"{'posegraph ms':>13} {'eff':>6}")
 
@@ -126,6 +154,9 @@ def main():
                  "time); on a real slice per-device work drops 1/nd and "
                  "this efficiency bounds the non-ICI scaling loss"),
         "m_total": args.m_total, "nodes_total": args.nodes_total,
+        "window_dense_1dev_ms": tw_dense * 1e3,
+        "posegraph_single_1dev_ms": tp_single * 1e3,
+        "posegraph_comm_bytes_per_cg": int((2 * L + 1 + D) * 6 * 4),
         "rows": rows,
     }
     path = _os.path.join(_os.path.dirname(_os.path.dirname(

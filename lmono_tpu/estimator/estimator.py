@@ -95,8 +95,15 @@ def _enter_frame(w: WindowState, laser: Pose) -> tuple[WindowState, jax.Array]:
 
 
 def fusion_step(state: EstimatorState, track: TrackOutput, laser: Pose,
-                cfg: EstimatorConfig, key: jax.Array
+                cfg: EstimatorConfig, key: jax.Array,
+                axis: str | None = None
                 ) -> tuple[EstimatorState, FusionOutput]:
+    """axis: inside `shard_map`, the window's landmark rows (feature table)
+    are sharded over this mesh axis while poses, the tracker output and the
+    laser pose are replicated; the window solve runs the landmark-sharded
+    LM loop (`parallel.dist_window._lm_loop` — local Schur elimination of
+    depths, psum-reduced pose system) and the feature bookkeeping psums its
+    few global reductions.  axis=None is the single-device path."""
     w1 = cfg.window_size + 1
     # input sanitization: a non-finite / absurd-jump odometry pose (sensor
     # dropout, upstream divergence) is replaced by constant-velocity
@@ -120,9 +127,9 @@ def fusion_step(state: EstimatorState, track: TrackOutput, laser: Pose,
     w, slot = _enter_frame(wprev, laser)
 
     # ---- features in
-    feats = fm.ingest_observations(w.feats, track, slot)
+    feats = fm.ingest_observations(w.feats, track, slot, axis=axis)
     w = w._replace(feats=feats)
-    is_kf = fm.keyframe_check(feats, slot, cfg)
+    is_kf = fm.keyframe_check(feats, slot, cfg, axis=axis)
 
     # ---- hand-eye extrinsic rotation (estimate_laser == 2)
     he = state.handeye
@@ -150,9 +157,15 @@ def fusion_step(state: EstimatorState, track: TrackOutput, laser: Pose,
     ready = full & (w.initialized | (cfg.estimate_laser != 2) | he.converged)
 
     # ---- triangulate + solve (only meaningful when window is full)
+    if axis is None:
+        solve = solve_window
+    else:
+        from lmono_tpu.parallel.dist_window import _lm_loop
+        solve = lambda w, cfg: _lm_loop(w, cfg, axis)
+
     def do_solve(w: WindowState):
         w = fm.triangulate(w, cfg)
-        w2, diag = solve_window(w, cfg)
+        w2, diag = solve(w, cfg)
         # failure detection (reference only prints on non-convergence,
         # Estimator.cc:1293-1301; here a diverged solve is *rejected* and the
         # laser-propagated window is kept — the deterministic re-init path)
@@ -194,7 +207,7 @@ def fusion_step(state: EstimatorState, track: TrackOutput, laser: Pose,
 
     # ---- slide when full
     def slide_kf(w: WindowState):
-        prior = marginalize_oldest(w, cfg)
+        prior = marginalize_oldest(w, cfg, axis=axis)
         w2 = fm.slide_old(w)
         return w2._replace(prior=prior)
 

@@ -21,12 +21,20 @@ from lmono_tpu.utils.lie import Pose, quat_rotate, quat_rotate_inv
 
 
 def ingest_observations(feats: FeatureTable, out: TrackOutput,
-                        frame_slot: jax.Array) -> FeatureTable:
+                        frame_slot: jax.Array,
+                        axis: str | None = None) -> FeatureTable:
     """Insert this frame's tracked features into the table at `frame_slot`.
 
     Known ids update their slot; unknown ids claim free slots (anchor =
     frame_slot).  Both tables are fixed-size; id matching is one (M, N)
     comparison.
+
+    axis: inside `shard_map`, `feats` holds this device's rows of the
+    landmark-sharded table while `out` is replicated.  Two O(N)+O(D)
+    collectives reproduce the single-device allocation exactly: a psum'd
+    "id already known" mask, and an exclusive prefix of per-device free-slot
+    counts so the k-th new feature still lands in the k-th *global* free
+    slot.
     """
     M = feats.ids.shape[0]
     N = out.ids.shape[0]
@@ -42,16 +50,26 @@ def ingest_observations(feats: FeatureTable, out: TrackOutput,
 
     # new features: tracker slots whose id is not in the table
     known = jnp.any(match, axis=0)                                   # (N,)
+    free_rank0 = jnp.zeros((), jnp.int32)
+    if axis is not None:
+        known = jax.lax.psum(known.astype(jnp.int32), axis) > 0
+        # global rank of this device's first free slot = free slots on
+        # lower-indexed devices (free slots sort by global row index)
+        nd = jax.lax.axis_size(axis)
+        my = jax.lax.axis_index(axis)
+        nf_all = jax.lax.all_gather(jnp.sum(~feats.alive), axis)     # (D,)
+        free_rank0 = jnp.sum(jnp.where(jnp.arange(nd) < my, nf_all, 0))
     is_new = out.alive & ~known & (out.ids >= 0)
     # order free table slots first
     free = ~feats.alive
     slot_order = jnp.argsort(~free, stable=True)                     # free first
     n_free = jnp.sum(free)
-    # k-th new feature (in tracker order) → k-th free slot
+    # k-th new feature (in tracker order) → k-th global free slot
     new_order = jnp.argsort(~is_new, stable=True)                    # new first
     k = jnp.arange(M)
-    take = (k < jnp.sum(is_new)) & (k < n_free)
-    src = new_order[jnp.clip(k, 0, N - 1)]                           # tracker idx
+    gk = k + free_rank0                                              # global rank
+    take = (gk < jnp.sum(is_new)) & (k < n_free)
+    src = new_order[jnp.clip(gk, 0, N - 1)]                          # tracker idx
     dst = slot_order[k]                                              # table idx
 
     ids = feats.ids.at[dst].set(
@@ -74,11 +92,14 @@ def ingest_observations(feats: FeatureTable, out: TrackOutput,
 
 
 def keyframe_check(feats: FeatureTable, frame_slot: jax.Array,
-                   cfg: EstimatorConfig) -> jax.Array:
+                   cfg: EstimatorConfig,
+                   axis: str | None = None) -> jax.Array:
     """Parallax keyframe gate (reference `featureCheck`,
     FeatureManager.cc:315-395): mean parallax between the two frames before
     the new one, over co-visible features; keyframe when above
-    FEATURE_THRESHOLD px (virtual focal) or when tracking is thin."""
+    FEATURE_THRESHOLD px (virtual focal) or when tracking is thin.
+
+    axis: landmark-sharded tables psum the two reduction scalars."""
     j1 = jnp.maximum(frame_slot - 1, 0).astype(jnp.int32)
     j2 = jnp.maximum(frame_slot - 2, 0).astype(jnp.int32)
     o1 = feats.obs[:, j1, :]
@@ -88,7 +109,11 @@ def keyframe_check(feats: FeatureTable, frame_slot: jax.Array,
     co = m1 & m2 & feats.alive
     par = jnp.linalg.norm(o1 - o2, axis=-1)
     n_co = jnp.sum(co)
-    mean_par = jnp.sum(jnp.where(co, par, 0.0)) / jnp.maximum(n_co, 1)
+    sum_par = jnp.sum(jnp.where(co, par, 0.0))
+    if axis is not None:
+        n_co = jax.lax.psum(n_co, axis)
+        sum_par = jax.lax.psum(sum_par, axis)
+    mean_par = sum_par / jnp.maximum(n_co, 1)
     thin = n_co < 20
     early = frame_slot < 2
     return early | thin | (mean_par * cfg.focal_length > cfg.feature_threshold)

@@ -46,8 +46,16 @@ def predict_pose(state: OdometryState) -> Pose:
 
 
 def odometry_step(state: OdometryState, scan: dict,
-                  cfg: LidarConfig) -> tuple[OdometryState, dict]:
-    """Process one sweep dict {points (R,W,3), ranges (R,W), valid (R,W)}."""
+                  cfg: LidarConfig,
+                  axis: str | None = None) -> tuple[OdometryState, dict]:
+    """Process one sweep dict {points (R,W,3), ranges (R,W), valid (R,W)}.
+
+    axis: inside `shard_map`, the map banks in `state` are shards of the
+    global slot space over this mesh axis (space/"map" sharding, SURVEY §5);
+    scans and poses stay replicated.  Requires `map_update == "hash"` (the
+    slot-range-partitionable scheme).  Concatenated shard banks and the
+    resulting trajectory match the single-device run exactly.
+    """
     feats = extract_features(scan["points"], scan["ranges"], scan["valid"], cfg)
 
     is_first = state.frame == 0
@@ -59,7 +67,7 @@ def odometry_step(state: OdometryState, scan: dict,
         feats.planar_points, feats.planar_mask,
         state.edge_map.points, state.edge_map.mask,
         state.plane_map.points, state.plane_map.mask,
-        cfg, cfg.scan_to_map_iters,
+        cfg, cfg.scan_to_map_iters, axis=axis,
     )
     # first frame: no map yet, keep the prior pose
     pose = Pose(
@@ -68,7 +76,12 @@ def odometry_step(state: OdometryState, scan: dict,
     )
 
     # insert this frame's features into the map (world frame)
-    upd = bank_update_hash if cfg.map_update == "hash" else bank_update
+    if axis is not None and cfg.map_update != "hash":
+        raise ValueError("sharded odometry requires map_update='hash'")
+    if cfg.map_update == "hash":
+        upd = lambda *a: bank_update_hash(*a, axis=axis)
+    else:
+        upd = bank_update
     ew = pose.apply(feats.edge_points)
     pw = pose.apply(feats.planar_points)
     edge_map = upd(state.edge_map, ew, feats.edge_mask,

@@ -130,11 +130,31 @@ def _knn_cfg(query_w, bank, bank_mask, cfg: LidarConfig, center):
                center=center, select_dtype=sel)
 
 
-def find_edge_corr(query_w: jax.Array, qmask: jax.Array,
-                   bank: jax.Array, bank_mask: jax.Array,
-                   cfg: LidarConfig, center: jax.Array | None = None) -> EdgeCorr:
+def _knn_nbrs(query_w, bank, bank_mask, cfg: LidarConfig, center,
+              axis: str | None):
+    """k nearest neighbor COORDS (d2 (Q,k), nbrs (Q,k,3)).
+
+    axis: inside `shard_map`, `bank` is this device's shard of the map
+    bank; the per-shard top-k candidates are all-gathered over the mesh
+    axis and reduced to the global top-k — exact (the global winners are
+    contained in the union of per-shard winners), O(Q·k·D) bytes on ICI
+    vs the O(Q·M/D) local distance work (see parallel/dist_knn.py).
+    """
     d2, idx = _knn_cfg(query_w, bank, bank_mask, cfg, center)
     nbrs = bank[idx]                                 # (Q, k, 3)
+    if axis is None:
+        return d2, nbrs
+    d2_all = jax.lax.all_gather(d2, axis, axis=1, tiled=True)     # (Q, D·k)
+    nbrs_all = jax.lax.all_gather(nbrs, axis, axis=1, tiled=True)  # (Q,D·k,3)
+    neg, sel = jax.lax.top_k(-d2_all, cfg.knn_k)
+    return -neg, jnp.take_along_axis(nbrs_all, sel[..., None], axis=1)
+
+
+def find_edge_corr(query_w: jax.Array, qmask: jax.Array,
+                   bank: jax.Array, bank_mask: jax.Array,
+                   cfg: LidarConfig, center: jax.Array | None = None,
+                   axis: str | None = None) -> EdgeCorr:
+    d2, nbrs = _knn_nbrs(query_w, bank, bank_mask, cfg, center, axis)
     nbr_ok = (d2 < cfg.corr_max_dist ** 2) & qmask[:, None]
     c, v, ok = fit_lines(nbrs, nbr_ok)
     return EdgeCorr(c, v, ok & qmask)
@@ -142,9 +162,9 @@ def find_edge_corr(query_w: jax.Array, qmask: jax.Array,
 
 def find_plane_corr(query_w: jax.Array, qmask: jax.Array,
                     bank: jax.Array, bank_mask: jax.Array,
-                    cfg: LidarConfig, center: jax.Array | None = None) -> PlaneCorr:
-    d2, idx = _knn_cfg(query_w, bank, bank_mask, cfg, center)
-    nbrs = bank[idx]
+                    cfg: LidarConfig, center: jax.Array | None = None,
+                    axis: str | None = None) -> PlaneCorr:
+    d2, nbrs = _knn_nbrs(query_w, bank, bank_mask, cfg, center, axis)
     nbr_ok = (d2 < cfg.corr_max_dist ** 2) & qmask[:, None]
     n, rho, ok = fit_planes(nbrs, nbr_ok)
     return PlaneCorr(n, rho, ok & qmask)
@@ -215,12 +235,17 @@ def register(init_pose: Pose,
              plane_pts: jax.Array, plane_mask: jax.Array,
              edge_bank: jax.Array, edge_bank_mask: jax.Array,
              plane_bank: jax.Array, plane_bank_mask: jax.Array,
-             cfg: LidarConfig, iters: int) -> tuple[Pose, dict]:
+             cfg: LidarConfig, iters: int,
+             axis: str | None = None) -> tuple[Pose, dict]:
     """Register a feature scan against target banks.  Jit-safe.
 
     Correspondences are re-found every iteration (LOAM re-associates per
     iteration too); the GN update is damped by `cfg.gn_damping`.
     Returns (refined map-from-scan pose, diagnostics).
+
+    axis: map banks are sharded over this mesh axis (inside shard_map);
+    only the correspondence search communicates (candidate merge) — the
+    merged targets are replicated, so the GN itself stays collective-free.
     """
     all_pts = jnp.concatenate([edge_pts, plane_pts], axis=0)
 
@@ -248,9 +273,9 @@ def register(init_pose: Pose,
         # recentering by the sensor position keeps coordinates ≤ max_range,
         # which is what makes bf16 neighbor selection safe at world scale
         ec = find_edge_corr(pw_e, edge_mask, edge_bank, edge_bank_mask, cfg,
-                            center=pose.t)
+                            center=pose.t, axis=axis)
         pc = find_plane_corr(pw_p, plane_mask, plane_bank, plane_bank_mask,
-                             cfg, center=pose.t)
+                             cfg, center=pose.t, axis=axis)
         A, c, ok = _unified_targets(ec, pc)
         pose, cost, n_in = gn_update(pose, A, c, ok)
         pose, cost, n_in = gn_update(pose, A, c, ok)

@@ -65,19 +65,37 @@ def colormap_update(cm: ColorMap, new_pts, new_colors, new_mask,
 
 
 def colormap_update_hash(cm: ColorMap, new_pts, new_colors, new_mask,
-                         voxel: float) -> ColorMap:
+                         voxel: float, axis: str | None = None) -> ColorMap:
     """O(N) scatter merge: each voxel hashes to one bank slot (same scheme
     as `ops.voxelmap.bank_update_hash`).  Existing points win their voxel;
     hash collisions drop the newcomer — bounded quality loss instead of the
-    full-bank argsort, ~an order of magnitude cheaper per frame on TPU."""
+    full-bank argsort, ~an order of magnitude cheaper per frame on TPU.
+    Contested slots resolve to the lowest point index (deterministic).
+
+    axis: inside `shard_map`, shard the global slot space over this mesh
+    axis (the SURVEY §5 map/space partition — the world colored map the
+    reference grows unboundedly and flushes every 10 frames,
+    `Map_Builder.cc:82-98`, becomes per-device slot-range shards whose
+    concatenation equals the single-device map exactly)."""
     C = cm.points.shape[0]
-    slots = _hash_slots(new_pts, voxel, C)
+    if axis is None:
+        slots = _hash_slots(new_pts, voxel, C)
+    else:
+        slots = _hash_slots(new_pts, voxel, C * jax.lax.axis_size(axis))
+        my = jax.lax.axis_index(axis)
+        new_mask = new_mask & ((slots // C) == my)
+        slots = jnp.clip(slots - my * C, 0, C - 1)
     occupied = cm.mask[slots]
     write = new_mask & ~occupied
+    n = new_pts.shape[0]
     dest = jnp.where(write, slots, C)           # C = out of range ⇒ dropped
-    pts = cm.points.at[dest].set(new_pts, mode="drop")
-    cols = cm.colors.at[dest].set(new_colors, mode="drop")
-    msk = cm.mask.at[dest].set(True, mode="drop")
+    winner = jnp.full((C,), n, jnp.int32).at[dest].min(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    won = winner < n
+    widx = jnp.clip(winner, 0, n - 1)
+    pts = jnp.where(won[:, None], new_pts[widx], cm.points)
+    cols = jnp.where(won[:, None], new_colors[widx], cm.colors)
+    msk = cm.mask | won
     return ColorMap(pts, cols, msk)
 
 
@@ -110,26 +128,50 @@ class MapBuilder:
 
     ACTIVE_CAPACITY = 1 << 18
 
-    def __init__(self, cam: CameraModel, cfg: MappingConfig):
+    def __init__(self, cam: CameraModel, cfg: MappingConfig, mesh=None):
+        """mesh: optional engine mesh — the active colored bank is sharded
+        over its "map" axis (slot-range partition, exact parity with the
+        single-device map; see `colormap_update_hash`)."""
         self.cfg = cfg
         self.map = ColorMap.empty(min(cfg.map_capacity, self.ACTIVE_CAPACITY))
         self._archive: list[tuple[np.ndarray, np.ndarray]] = []
         self._archived_n = 0
         use_hash = getattr(cfg, "map_update", "hash") == "hash"
+        if mesh is not None and not use_hash:
+            raise ValueError("sharded mapping requires map_update='hash'")
 
-        def step(cm, pl_, pv, img, clt, clq, wct, wcq):
+        def step(cm, pl_, pv, img, clt, clq, wct, wcq,
+                 axis: str | None = None):
             pts_w, colors, keep, depth, dmask = build_frame(
                 pl_, pv, img, Pose(clt, clq), Pose(wct, wcq), cam, cfg)
             if use_hash:
                 cm2 = colormap_update_hash(cm, pts_w, colors, keep,
-                                           cfg.map_voxel)
+                                           cfg.map_voxel, axis=axis)
             else:
                 cm2 = colormap_update(cm, pts_w, colors, keep,
                                       cfg.map_voxel, wct)
             return cm2, depth, dmask
 
-        # one fused dispatch per frame (projection + completion + merge)
-        self._step = jax.jit(step, donate_argnums=(0,))
+        if mesh is None:
+            # one fused dispatch per frame (projection + completion + merge)
+            self._step = jax.jit(step, donate_argnums=(0,))
+        else:
+            from functools import partial
+            from jax.sharding import PartitionSpec as P
+
+            from lmono_tpu.parallel.dist_engine import put_sharded
+
+            cm_spec = ColorMap(points=P("map"), colors=P("map"),
+                               mask=P("map"))
+            sm = partial(jax.shard_map, mesh=mesh, check_vma=False,
+                         in_specs=(cm_spec,) + (P(),) * 7,
+                         out_specs=(cm_spec, P(), P()))
+
+            self._step = jax.jit(
+                sm(lambda *a: step(*a, axis="map")), donate_argnums=(0,))
+            self.map = put_sharded(mesh, self.map, cm_spec)
+        self._mesh, self._cm_spec = mesh, (cm_spec if mesh is not None
+                                           else None)
         self.frames = 0
 
     def _flush_active(self):
@@ -139,6 +181,9 @@ class MapBuilder:
                                   np.asarray(self.map.colors)[m]))
             self._archived_n += int(m.sum())
         self.map = ColorMap.empty(self.map.points.shape[0])
+        if self._mesh is not None:
+            from lmono_tpu.parallel.dist_engine import put_sharded
+            self.map = put_sharded(self._mesh, self.map, self._cm_spec)
 
     def process(self, points_laser, points_valid, image, T_CL: Pose,
                 T_WC: Pose):

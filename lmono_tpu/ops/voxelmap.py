@@ -96,17 +96,26 @@ def _hash_slots(pts: jax.Array, voxel: float, capacity: int) -> jax.Array:
 
 def bank_update_hash(bank: PointBank, new_pts: jax.Array, new_mask: jax.Array,
                      voxel: float, center: jax.Array,
-                     keep_radius: float) -> PointBank:
+                     keep_radius: float, axis: str | None = None) -> PointBank:
     """O(N) scatter-based merge: each voxel hashes to one bank slot.
 
     Semantics vs `bank_update` (the sort-based exact dedup):
       * existing points still win their voxel (slot occupancy blocks writes);
       * hash collisions (different voxels, same slot) drop the newcomer —
         a bounded, graceful quality loss instead of an O(N log N) argsort;
+      * contested slots (several new points, one slot, one frame) go to the
+        lowest point index — deterministic, so sharded and single-device
+        banks are bitwise identical;
       * point indices are stable across frames (good for correspondence
         caching), and there is no compaction pass.
     ~8× cheaper than the sort path on TPU; this is what the per-frame
     odometry uses (`LidarConfig.map_update == "hash"`).
+
+    axis: inside `shard_map`, shard the global slot space over this mesh
+    axis — device d owns global slots [d·C, (d+1)·C) of the C·axis_size
+    space; `new_pts` is the full (replicated) frame and each device keeps
+    only the writes landing in its range.  Concatenating the shards
+    reproduces the single-device bank exactly.
     """
     C = bank.capacity
     r2 = keep_radius * keep_radius
@@ -115,10 +124,21 @@ def bank_update_hash(bank: PointBank, new_pts: jax.Array, new_mask: jax.Array,
     nd2 = jnp.sum((new_pts - center) ** 2, axis=-1)
     new_mask = new_mask & (nd2 < r2)
 
-    slots = _hash_slots(new_pts, voxel, C)
+    if axis is None:
+        slots = _hash_slots(new_pts, voxel, C)
+    else:
+        slots = _hash_slots(new_pts, voxel, C * jax.lax.axis_size(axis))
+        my = jax.lax.axis_index(axis)
+        new_mask = new_mask & ((slots // C) == my)
+        slots = jnp.clip(slots - my * C, 0, C - 1)
     occupied = mask[slots]
     write = new_mask & ~occupied
+    n = new_pts.shape[0]
     dest = jnp.where(write, slots, C)          # C = out-of-range ⇒ dropped
-    pts = bank.points.at[dest].set(new_pts, mode="drop")
-    msk = mask.at[dest].set(True, mode="drop")
+    winner = jnp.full((C,), n, jnp.int32).at[dest].min(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    won = winner < n
+    widx = jnp.clip(winner, 0, n - 1)
+    pts = jnp.where(won[:, None], new_pts[widx], bank.points)
+    msk = mask | won
     return PointBank(pts, msk)

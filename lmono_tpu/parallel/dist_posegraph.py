@@ -5,21 +5,25 @@ is matrix-free GN+CG over all edges; here the *same algorithm* is laid out
 over the mesh's keyframe axis by hand — no GSPMD auto-partitioning:
 
 * node states are block-sharded: device d owns nodes [d·Nl, (d+1)·Nl);
-* sequential i→i+1 edges are owned by the source node's device; the one
-  remote endpoint (the next device's first node) arrives by a **halo
-  exchange** (`lax.ppermute` of a single row);
-* loop edges (arbitrary i,j; few of them) read endpoints from one
-  `lax.all_gather` of the tiny (N, C) state and are masked so exactly the
-  owner of node i contributes each edge's residual;
-* CG dot products are `lax.psum` reductions;
-* the Hv = Jᵀ(Jv) product differentiates *through the collectives*
-  (the transpose of all_gather is psum_scatter, of ppermute the inverse
-  permutation), so gradients of remote-endpoint terms flow back to their
-  owner automatically and the distributed iterates match the single-device
-  ones to float tolerance (`tests/test_dist_posegraph.py`).
+* the only remote rows any residual reads are (a) each device's *next*
+  block's first row (the halo endpoint of its last sequential edge),
+  (b) the loop-edge endpoint rows (few), and (c) node 0 (gauge) — so one
+  **psum'd row pack** of (2L + 1 + D, C) rebuilds every remote value on
+  every device: each owner contributes its rows, zeros elsewhere, one
+  `lax.psum`.  Bytes per evaluation are O(L + D), *independent of N*
+  (round 2 all-gathered the full (N, C) state instead — 98 KB/eval at
+  N=4096 vs 12 KB now — and paid an extra ppermute for the halo);
+* loop residuals are masked so exactly the owner of node i contributes;
+* CG dot products are `lax.psum` reductions; the Hv = Jᵀ(Jv) product uses
+  `jax.linearize` (tangent-only re-evaluation — one psum per Hv, the
+  primal is not recomputed) and differentiates *through* the collectives
+  (psum's transpose is communication-free cotangent reuse), so the
+  distributed iterates match the single-device ones to float tolerance
+  (`tests/test_dist_posegraph.py`).
 
-Communication per CG step: one (N, C) all_gather + one row ppermute + two
-scalar psums — all O(N) bytes on the graph, independent of edge count.
+Collectives per CG step: one (2L+1+D, C) psum inside Hv + two scalar psums
+for the dot products — 3 tiny latency-bound collectives; see SCALING.md for
+the measured partition efficiency and the ICI latency model.
 
 Replaces (at scale) the reference's single-threaded scaffolded pose graph
 (`mono_lidar_mapping/include/loop_detection/Loop_Detector.h:100-168`).
@@ -49,12 +53,35 @@ from lmono_tpu.utils.lie import (
 LOOP_WEIGHT = 5.0  # matches posegraph._residuals default
 
 
-def _halo_next_row(x_loc: jax.Array, axis: str, nd: int) -> jax.Array:
-    """Give every device the first row of its right neighbor (device d
-    receives row 0 of device d+1; device nd-1 receives device 0's — that
-    wrap edge is always masked since edge N-1 does not exist)."""
-    perm = [(i, (i - 1) % nd) for i in range(nd)]
-    return jax.lax.ppermute(x_loc[:1], axis, perm)[0]
+def _gather_rows(vals_loc: jax.Array, rows: jax.Array, axis: str,
+                 nd: int) -> jax.Array:
+    """Replicated copy of global rows from a block-sharded (Nl, C) array.
+
+    Each device contributes the rows it owns (zeros elsewhere); one psum
+    makes the pack identical everywhere.  Exact: every row is the sum of
+    one owner contribution and zeros."""
+    Nl = vals_loc.shape[0]
+    my = jax.lax.axis_index(axis)
+    loc = rows - my * Nl
+    own = (loc >= 0) & (loc < Nl)
+    v = vals_loc[jnp.clip(loc, 0, Nl - 1)] * own[:, None]
+    return jax.lax.psum(v, axis)
+
+
+def _pack_remote(vals_loc: jax.Array, loop_i, loop_j, axis: str, nd: int):
+    """One psum for every remote row any residual needs: loop endpoints,
+    node 0 (gauge), and each device block's first row (sequential halo).
+
+    Returns (ei (L,C), ej (L,C), e0 (C,), nxt (C,) — this device's halo)."""
+    Nl = vals_loc.shape[0]
+    L = loop_i.shape[0]
+    firsts = jnp.arange(nd, dtype=loop_i.dtype) * Nl
+    rows = jnp.concatenate(
+        [loop_i, loop_j, jnp.zeros((1,), loop_i.dtype), firsts])
+    pack = _gather_rows(vals_loc, rows, axis, nd)
+    my = jax.lax.axis_index(axis)
+    nxt = pack[2 * L + 1 + (my + 1) % nd]   # first row of the next block
+    return pack[:L], pack[L:2 * L], pack[2 * L], nxt
 
 
 def _local_resid4(x_loc, anchor, seq_dt, seq_dyaw, seq_mask, ypr_pr,
@@ -64,8 +91,10 @@ def _local_resid4(x_loc, anchor, seq_dt, seq_dyaw, seq_mask, ypr_pr,
     Nl = x_loc.shape[0]
     my = jax.lax.axis_index(axis)
 
-    x_next = _halo_next_row(x_loc, axis, nd)              # (4,)
-    x_ext = jnp.concatenate([x_loc, x_next[None]], 0)     # (Nl+1, 4)
+    ext_loc = jnp.concatenate([x_loc, ypr_pr], -1)        # (Nl, 6)
+    ei, ej, e0, nxt = _pack_remote(ext_loc, loop_i, loop_j, axis, nd)
+
+    x_ext = jnp.concatenate([x_loc, nxt[None, :4]], 0)    # (Nl+1, 4)
     t = x_ext[:, :3]
     yaw = x_ext[:, 3]
     ypr_i = jnp.stack([yaw[:-1], ypr_pr[:, 0], ypr_pr[:, 1]], -1)
@@ -75,22 +104,18 @@ def _local_resid4(x_loc, anchor, seq_dt, seq_dyaw, seq_mask, ypr_pr,
     r_seq_t = (dt_est - seq_dt) * seq_mask[:, None]
     r_seq_y = _wrap(yaw[1:] - yaw[:-1] - seq_dyaw) * seq_mask
 
-    # loop edges from the gathered (tiny) node state, owner-masked
-    x_all = jax.lax.all_gather(x_loc, axis, axis=0, tiled=True)   # (N,4)
-    pr_all = jax.lax.all_gather(ypr_pr, axis, axis=0, tiled=True)
+    # loop edges from the psum'd endpoint rows, owner-masked
     own = ((loop_i // Nl) == my)
     w = LOOP_WEIGHT * loop_mask * own
-    t_all, yaw_all = x_all[:, :3], x_all[:, 3]
-    ypr_li = jnp.stack([yaw_all[loop_i], pr_all[loop_i, 0],
-                        pr_all[loop_i, 1]], -1)
+    ypr_li = jnp.stack([ei[:, 3], ei[:, 4], ei[:, 5]], -1)
     R_li = ypr_to_mat(ypr_li)
     dt_est_l = jnp.einsum("lij,lj->li", R_li.transpose(0, 2, 1),
-                          t_all[loop_j] - t_all[loop_i])
+                          ej[:, :3] - ei[:, :3])
     r_loop_t = (dt_est_l - loop_dt) * w[:, None]
-    r_loop_y = _wrap(yaw_all[loop_j] - yaw_all[loop_i] - loop_dyaw) * w
+    r_loop_y = _wrap(ej[:, 3] - ei[:, 3] - loop_dyaw) * w
 
     # gauge on node 0, contributed by its owner only
-    r_fix = 100.0 * (x_all[0] - anchor) * (my == 0)
+    r_fix = 100.0 * (e0[:4] - anchor) * (my == 0)
     return jnp.concatenate([
         r_seq_t.reshape(-1), r_seq_y, r_loop_t.reshape(-1), r_loop_y, r_fix])
 
@@ -103,11 +128,11 @@ def _local_resid6(x_loc, q0_loc, anchor_t, seq_dt, seq_dq, seq_mask,
     my = jax.lax.axis_index(axis)
 
     q_loc = quat_mul(q0_loc, so3_exp_quat(x_loc[:, 3:]))  # (Nl,4)
-    x_next = _halo_next_row(x_loc, axis, nd)
-    q0_next = _halo_next_row(q0_loc, axis, nd)
-    q_next = quat_mul(q0_next, so3_exp_quat(x_next[3:]))
-    t_ext = jnp.concatenate([x_loc[:, :3], x_next[None, :3]], 0)
-    q_ext = jnp.concatenate([q_loc, q_next[None]], 0)
+    ext_loc = jnp.concatenate([x_loc, q_loc], -1)         # (Nl, 10)
+    ei, ej, e0, nxt = _pack_remote(ext_loc, loop_i, loop_j, axis, nd)
+
+    t_ext = jnp.concatenate([x_loc[:, :3], nxt[None, :3]], 0)
+    q_ext = jnp.concatenate([q_loc, nxt[None, 6:10]], 0)
 
     dt_est = quat_rotate_inv(q_ext[:-1], t_ext[1:] - t_ext[:-1])
     r_seq_t = (dt_est - seq_dt) * seq_mask[:, None]
@@ -115,19 +140,17 @@ def _local_resid6(x_loc, q0_loc, anchor_t, seq_dt, seq_dq, seq_mask,
     r_seq_r = so3_log_quat(quat_mul(quat_conj(seq_dq), dq_est)) \
         * seq_mask[:, None]
 
-    t_all = jax.lax.all_gather(x_loc[:, :3], axis, axis=0, tiled=True)
-    q_all = jax.lax.all_gather(q_loc, axis, axis=0, tiled=True)
-    dth0_all = jax.lax.all_gather(x_loc[:, 3:], axis, axis=0, tiled=True)
     own = ((loop_i // Nl) == my)
     w = LOOP_WEIGHT * loop_mask * own
-    dt_est_l = quat_rotate_inv(q_all[loop_i], t_all[loop_j] - t_all[loop_i])
+    q_li, q_lj = ei[:, 6:10], ej[:, 6:10]
+    dt_est_l = quat_rotate_inv(q_li, ej[:, :3] - ei[:, :3])
     r_loop_t = (dt_est_l - loop_dt) * w[:, None]
-    dq_est_l = quat_mul(quat_conj(q_all[loop_i]), q_all[loop_j])
+    dq_est_l = quat_mul(quat_conj(q_li), q_lj)
     r_loop_r = so3_log_quat(quat_mul(quat_conj(loop_dq), dq_est_l)) \
         * w[:, None]
 
     r_fix = 100.0 * jnp.concatenate(
-        [t_all[0] - anchor_t, dth0_all[0]]) * (my == 0)
+        [e0[:3] - anchor_t, e0[3:6]]) * (my == 0)
     return jnp.concatenate([
         r_seq_t.reshape(-1), r_seq_r.reshape(-1),
         r_loop_t.reshape(-1), r_loop_r.reshape(-1), r_fix])
@@ -159,6 +182,24 @@ def _pcg(Av, b, iters: int, axis: str):
     return x
 
 
+def _gn_step_factory(f, node_mask, cg_iters, axis):
+    """One GN step: linearize once, matrix-free damped-CG on JᵀJ."""
+
+    def gn(x):
+        r = f(x)
+        _, f_lin = jax.linearize(f, x)     # tangent-only: 1 psum per Hv
+        _, vjp = jax.vjp(f, x)
+        grad = vjp(r)[0]
+
+        def Hv(v):
+            return vjp(f_lin(v))[0] + 1e-4 * v
+
+        dx = _pcg(Hv, -grad, cg_iters, axis)
+        return x + jnp.where(node_mask[:, None], dx, 0.0)
+
+    return gn
+
+
 def make_sharded_posegraph_opt(mesh: Mesh, iters: int = 10,
                                cg_iters: int = 50, four_dof: bool = True,
                                axis: str = "kf"):
@@ -185,22 +226,12 @@ def make_sharded_posegraph_opt(mesh: Mesh, iters: int = 10,
                  in_specs=in_specs, out_specs=(node_spec,))
         def run(x0, anchor, seq_dt, seq_dyaw, seq_mask, ypr_pr, node_mask,
                 loop_i, loop_j, loop_dt, loop_dyaw, loop_mask):
-            def gn_step(x, _):
-                f = lambda xx: _local_resid4(
-                    xx, anchor, seq_dt, seq_dyaw, seq_mask, ypr_pr,
-                    loop_i, loop_j, loop_dt, loop_dyaw, loop_mask, axis, nd)
-                r = f(x)
-                _, vjp = jax.vjp(f, x)
-                grad = vjp(r)[0]
-
-                def Hv(v):
-                    _, jv = jax.jvp(f, (x,), (v,))
-                    return vjp(jv)[0] + 1e-4 * v
-
-                dx = _pcg(Hv, -grad, cg_iters, axis)
-                return x + jnp.where(node_mask[:, None], dx, 0.0), None
-
-            x, _ = jax.lax.scan(gn_step, x0, None, length=iters)
+            f = lambda xx: _local_resid4(
+                xx, anchor, seq_dt, seq_dyaw, seq_mask, ypr_pr,
+                loop_i, loop_j, loop_dt, loop_dyaw, loop_mask, axis, nd)
+            gn = _gn_step_factory(f, node_mask, cg_iters, axis)
+            x, _ = jax.lax.scan(lambda x, _: (gn(x), None), x0, None,
+                                length=iters)
             return (x,)
 
         def optimize(g: PoseGraph) -> PoseGraph:
@@ -224,16 +255,8 @@ def make_sharded_posegraph_opt(mesh: Mesh, iters: int = 10,
                 f = lambda xx: _local_resid6(
                     xx, q0, anchor_t, seq_dt, seq_dq, seq_mask,
                     loop_i, loop_j, loop_dt, loop_dq, loop_mask, axis, nd)
-                r = f(x)
-                _, vjp = jax.vjp(f, x)
-                grad = vjp(r)[0]
-
-                def Hv(v):
-                    _, jv = jax.jvp(f, (x,), (v,))
-                    return vjp(jv)[0] + 1e-4 * v
-
-                dx = _pcg(Hv, -grad, cg_iters, axis)
-                x = x + jnp.where(node_mask[:, None], dx, 0.0)
+                gn = _gn_step_factory(f, node_mask, cg_iters, axis)
+                x = gn(x)
                 q0 = quat_mul(q0, so3_exp_quat(x[:, 3:]))
                 x = x.at[:, 3:].set(0.0)
                 return (x, q0), None

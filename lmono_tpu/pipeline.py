@@ -40,7 +40,13 @@ from lmono_tpu.utils.timing import StageTimer
 
 
 class SlamSystem:
-    """End-to-end SLAM engine over (scan, image) frame streams."""
+    """End-to-end SLAM engine over (scan, image) frame streams.
+
+    With `ParallelConfig.kf_shards × map_shards > 1` the engine runs
+    distributed over a (kf, map) device mesh: the odometry voxel banks and
+    dense colored map shard over the space axis, the fusion window's
+    landmark rows and the pose graph over the kf axis — same host API, same
+    trajectory (`tests/test_dist_engine.py` asserts end-to-end parity)."""
 
     def __init__(self, cfg: SystemConfig, enable_loop: bool = True,
                  enable_mapping: bool = True):
@@ -51,6 +57,13 @@ class SlamSystem:
             m = jnp.asarray(np.array(cfg.laser_to_camera).reshape(4, 4),
                             jnp.float32)
             T_CL = Pose.from_mat4(m)
+        pc = cfg.parallel
+        self.mesh = None
+        if pc.kf_shards * pc.map_shards > 1:
+            from lmono_tpu.parallel.dist_engine import (
+                check_divisible, make_engine_mesh)
+            self.mesh = make_engine_mesh(pc.kf_shards, pc.map_shards)
+            check_divisible(cfg, pc.kf_shards, pc.map_shards)
         self.lidar = LidarOdometry(cfg.lidar)
         self.tracker = FeatureTracker(self.cam, cfg.tracker,
                                       cfg.camera.height, cfg.camera.width)
@@ -62,10 +75,37 @@ class SlamSystem:
             if enable_loop else None)
         self.graph = PoseGraph.empty(cfg.loop.db_capacity) if enable_loop else None
         self.mapper: Optional[MapBuilder] = (
-            MapBuilder(self.cam, cfg.mapping) if enable_mapping else None)
-        self._opt_graph = (jax.jit(lambda g: optimize_posegraph(
-            g, iters=cfg.loop.posegraph_iters,
-            four_dof=cfg.loop.posegraph_4dof)) if enable_loop else None)
+            MapBuilder(self.cam, cfg.mapping, mesh=self.mesh)
+            if enable_mapping else None)
+        if self.mesh is not None:
+            # re-lay the hot lanes over the mesh (same signatures/state API)
+            from lmono_tpu.parallel.dist_engine import (
+                estimator_specs,
+                make_dist_fusion_step,
+                make_dist_odometry_scan,
+                make_dist_odometry_step,
+                odometry_specs,
+                put_sharded,
+            )
+            from lmono_tpu.parallel.dist_posegraph import (
+                make_sharded_posegraph_opt)
+            self.lidar._step = make_dist_odometry_step(self.mesh, cfg.lidar)
+            self.lidar._scan = make_dist_odometry_scan(self.mesh, cfg.lidar)
+            self.lidar.state = put_sharded(self.mesh, self.lidar.state,
+                                           odometry_specs())
+            self.estimator._step = make_dist_fusion_step(self.mesh,
+                                                         cfg.estimator)
+            self.estimator.state = put_sharded(self.mesh,
+                                               self.estimator.state,
+                                               estimator_specs())
+            self._opt_graph = (make_sharded_posegraph_opt(
+                self.mesh, iters=cfg.loop.posegraph_iters, cg_iters=50,
+                four_dof=cfg.loop.posegraph_4dof, axis="kf")
+                if enable_loop else None)
+        else:
+            self._opt_graph = (jax.jit(lambda g: optimize_posegraph(
+                g, iters=cfg.loop.posegraph_iters,
+                four_dof=cfg.loop.posegraph_4dof)) if enable_loop else None)
 
         Kw = cfg.loop.window_points
 
