@@ -157,6 +157,50 @@ def bench_pipeline(cfg, profile_dir=None):
     return fps
 
 
+def bench_system(cfg):
+    """Full SlamSystem frames/s with loop + mapping lanes ENABLED — the
+    complete counterpart of the reference's four processes (estimator,
+    loop node, map node, odometry).  Per-frame host dispatch included:
+    this is the interactive path, not the chunked offline path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lmono_tpu.eval.ate import ate_rmse
+    from lmono_tpu.io.synthetic import synthetic_T_CL
+    from lmono_tpu.pipeline import SlamSystem
+    from lmono_tpu.utils.lie import Pose, pose_stack
+
+    T_CL = synthetic_T_CL()
+    cfg = cfg.replace(laser_to_camera=tuple(
+        np.asarray(T_CL.to_mat4()).reshape(-1).tolist()))
+    chunk_list, traj, T_CL, n_chunks = _stage_frames(cfg, with_images=True)
+    frames = []
+    for ch in chunk_list:
+        for i in range(CHUNK):
+            frames.append(jax.tree.map(lambda x: x[i], ch))
+    system = SlamSystem(cfg, enable_loop=True, enable_mapping=True)
+
+    est = []
+    warm = CHUNK  # first chunk of frames = compile warmup
+    t0 = None
+    for i, fr in enumerate(frames):
+        if i == warm:
+            t0 = time.perf_counter()
+        scan = {k: fr[k] for k in ("points", "ranges", "valid")}
+        out = system.process(scan, fr["image"], time=i * 0.1)
+        est.append(out["pose"])
+    jax.block_until_ready(est[-1].t)
+    dt = time.perf_counter() - t0
+    fps = (len(frames) - warm) / dt
+
+    gt = Pose(traj.t[: len(frames)], traj.q[: len(frames)])
+    ate = ate_rmse(pose_stack(est), gt, align=True)
+    print(f"system (loop+map): {fps:.3f} fps, ATE {ate:.4f} m, "
+          f"{system.n_loops} loops", file=sys.stderr, flush=True)
+    assert ate < 0.5, f"system ATE gate failed: {ate}"
+    return fps
+
+
 class _nullcontext:
     def __enter__(self):
         return self
@@ -197,10 +241,12 @@ def main():
               file=sys.stderr, flush=True)
         odo_fps = bench_odometry(cfg)
         pipe_fps = bench_pipeline(cfg)
+        sys_fps = bench_system(cfg)
         out = {"host": _host_fingerprint(),
                "backend": str(jax.devices()[0].platform),
                "odometry_fps": round(odo_fps, 3),
-               "pipeline_fps": round(pipe_fps, 3)}
+               "pipeline_fps": round(pipe_fps, 3),
+               "system_fps": round(sys_fps, 3)}
         with open(BASELINE_PATH, "w") as f:
             json.dump(out, f, indent=1)
         print(json.dumps({"metric": "cpu_baseline", **out}), flush=True)
@@ -213,10 +259,11 @@ def main():
         prof + "/odometry" if prof else None))
     pipe_fps = bench_pipeline(cfg, profile_dir=(
         prof + "/pipeline" if prof else None))
+    sys_fps = bench_system(cfg)
     if prof:
         print(f"profiler traces: {prof}", file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "metric": "odometry_fps",
         "value": round(odo_fps, 3),
         "unit": "frames/s",
@@ -224,7 +271,11 @@ def main():
         "pipeline_fps": round(pipe_fps, 3),
         "pipeline_vs_baseline": round(
             pipe_fps / base["pipeline_fps"], 3),
-    }), flush=True)
+        "system_fps": round(sys_fps, 3),
+    }
+    if "system_fps" in base:
+        out["system_vs_baseline"] = round(sys_fps / base["system_fps"], 3)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -32,7 +32,7 @@ from lmono_tpu.pipeline import SlamSystem
 from lmono_tpu.utils.lie import Pose, pose_stack
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", type=str, required=True)
     ap.add_argument("--seq", type=int, default=0)
@@ -41,12 +41,24 @@ def main():
     ap.add_argument("--no-loop", action="store_true")
     ap.add_argument("--no-map", action="store_true")
     ap.add_argument("--out", type=str, default="/tmp")
-    args = ap.parse_args()
+    ap.add_argument("--rings", type=int, default=0,
+                    help="override scan rings (non-HDL64 / synthetic trees)")
+    ap.add_argument("--horiz-res", type=int, default=0)
+    args = ap.parse_args(argv)
 
-    ds = KittiSequence(args.root, args.seq, kitti_config().lidar)
+    import dataclasses
+
+    lidar_cfg = kitti_config().lidar
+    if args.rings:
+        lidar_cfg = dataclasses.replace(
+            lidar_cfg, num_rings=args.rings,
+            horiz_res=args.horiz_res or lidar_cfg.horiz_res,
+            ring_mode="uniform" if args.rings != 64 else "auto")
+    ds = KittiSequence(args.root, args.seq, lidar_cfg)
     # intrinsics + T_CL straight from the sequence's calib.txt (no
-    # hand-entered calibration; reference ships per-seq YAML copies instead)
-    cfg = ds.system_config()
+    # hand-entered calibration; reference ships per-seq YAML copies
+    # instead), plus the per-sequence knob deltas from kitti_config(seq)
+    cfg = ds.system_config().replace(lidar=lidar_cfg)
     n = min(args.frames, len(ds)) if args.frames else len(ds)
     print(f"KITTI seq {args.seq:02d}: {n} frames")
 

@@ -256,17 +256,52 @@ KITTI00_T_LC = (
 )
 
 
-def kitti_config(sequence: int = 0) -> SystemConfig:
-    """KITTI preset with the seq-00 fallback calibration.
+# Per-sequence estimator/tracker deltas from the reference's YAML set
+# (`kitti_config_{00..08}.yaml` diffs vs 00).  Calibration (intrinsics,
+# image size, T_LC) is NOT here — it comes from the dataset's own calib.txt
+# via `KittiSequence.system_config()`.  Fields:
+#   feature_size → tracker.max_features        f_threshold → tracker (×1/0.15
+#   factor_weight/laser_w/estimate_laser/fine_times/track_cnt → estimator
+# f_threshold is stored in the reference's own units and mapped onto our
+# pixel gate relative to the seq-00 value (0.15 ↔ 1.0 px).
+_KITTI_SEQ_DELTAS = {
+    0: {},                                              # kitti_config_00.yaml
+    1: {"feature_size": 100, "factor_weight": 1500.0,   # kitti_config_01.yaml
+        "laser_w": 1.0},
+    2: {"feature_size": 100, "factor_weight": 600.0,    # kitti_config_02.yaml
+        "laser_w": 1.0, "estimate_laser": 2, "fine_times": 3},
+    3: {"factor_weight": 1200.0, "laser_w": 3.0},       # kitti_config_03.yaml
+    4: {"feature_size": 100, "f_threshold": 0.12,       # kitti_config_04.yaml
+        "factor_weight": 1200.0, "laser_w": 1.0},
+    5: {"feature_size": 180, "f_threshold": 0.12,       # kitti_config_05.yaml
+        "fine_times": 1, "track_cnt": 3},
+    8: {"feature_size": 150, "fine_times": 2},          # kitti_config_08.yaml
+}
 
-    The reference ships hand-copied per-sequence YAMLs
-    (`kitti_config_{00..08}.yaml`); here the per-sequence intrinsics and
-    T_CL come straight from the dataset's own `calib.txt` via
-    `lmono_tpu.io.kitti.KittiSequence.system_config()` — use that when a
-    dataset root is available.  This preset only supplies the non-calib
-    knobs plus seq-00 constants for calib-less tests."""
-    del sequence  # calib differences are derived from calib.txt, not presets
-    return SystemConfig(camera=CameraConfig(), laser_to_camera=KITTI00_T_LC)
+
+def kitti_config(sequence: int = 0) -> SystemConfig:
+    """KITTI preset: seq-00 fallback calibration + the reference's
+    per-sequence non-calib knob deltas (`kitti_config_{00..08}.yaml`).
+
+    Per-sequence intrinsics/image size/T_CL come from the dataset's own
+    `calib.txt` via `lmono_tpu.io.kitti.KittiSequence.system_config()` —
+    this preset supplies everything else (and seq-00 calib constants for
+    calib-less tests)."""
+    d = _KITTI_SEQ_DELTAS.get(sequence, {})
+    trk = TrackerConfig(
+        max_features=d.get("feature_size", 120),
+        f_threshold=d.get("f_threshold", 0.15) / 0.15,
+    )
+    est = EstimatorConfig(
+        factor_weight=d.get("factor_weight", 1000.0),
+        laser_w=d.get("laser_w", 2.0),
+        estimate_laser=d.get("estimate_laser", 1),
+        fine_times=d.get("fine_times", 0),
+        min_track_cnt=d.get("track_cnt", 4),
+        max_tracks=d.get("feature_size", 120) + 40,
+    )
+    return SystemConfig(camera=CameraConfig(), tracker=trk, estimator=est,
+                        laser_to_camera=KITTI00_T_LC)
 
 
 def synthetic_config() -> SystemConfig:

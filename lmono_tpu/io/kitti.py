@@ -205,6 +205,7 @@ class KittiSequence:
 
     def __init__(self, root: str, sequence: int, cfg: Optional[LidarConfig] = None):
         self.cfg = cfg or LidarConfig()
+        self.sequence = sequence
         seq = f"{sequence:02d}"
         self.seq_dir = os.path.join(root, "sequences", seq)
         self.velo_dir = os.path.join(self.seq_dir, "velodyne")
@@ -227,10 +228,15 @@ class KittiSequence:
         return None
 
     def system_config(self, base=None):
-        """SystemConfig for this sequence, calibrated from its own calib.txt
-        (+ image size from frame 0) — zero hand-entered calibration."""
+        """SystemConfig for this sequence: the reference's per-sequence knob
+        deltas (`config._KITTI_SEQ_DELTAS`, from `kitti_config_{00..08}.yaml`)
+        + calibration from the sequence's own calib.txt (+ image size from
+        frame 0) — zero hand-entered calibration."""
         import dataclasses
 
+        from lmono_tpu.config import kitti_config
+
+        base = base or kitti_config(self.sequence)
         cfg = config_from_calib(self.calib, base)
         img = self.image(0)
         if img is not None:

@@ -80,10 +80,33 @@ def match_descriptors(a: jax.Array, a_mask: jax.Array,
     return best_b.astype(jnp.int32), ok
 
 
+def vocab_asset_path(bits: int, dim: int) -> str:
+    import os
+
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets",
+        f"vocab_brief_{bits}x{dim}.npz")
+
+
 def make_codebook(bits: int = BRIEF_BITS, dim: int = 128,
                   seed: int = 77) -> jax.Array:
-    """Random signed codebook (bits, dim) — the 'vocabulary' replacing the
-    offline-trained DBoW2 binary tree (brief_k10L6.bin)."""
+    """Vocabulary codebook (bits, dim) replacing the reference's
+    offline-trained DBoW2 binary tree (`brief_k10L6.bin`, loaded at
+    `src/loop_detection_node.cc:369`).
+
+    Loads the shipped k-means-trained vocabulary asset when one matches
+    (trained by `examples/train_vocab.py` on BRIEF descriptors harvested
+    from rendered viewpoints — unit-norm centroids, so the
+    `global_descriptor` argmax bucket IS the nearest-centroid word, since
+    ±1 descriptors have constant norm).  Falls back to a random signed
+    projection when no asset exists."""
+    import os
+
+    path = vocab_asset_path(bits, dim)
+    if os.path.exists(path):
+        C = np.load(path)["codebook"].astype(np.float32)
+        assert C.shape == (bits, dim), C.shape
+        return jnp.asarray(C)
     rng = np.random.RandomState(seed)
     C = rng.normal(size=(bits, dim)).astype(np.float32)
     C /= np.linalg.norm(C, axis=0, keepdims=True)

@@ -74,8 +74,11 @@ def test_fusion_end_to_end():
     laser_traj = pose_stack(laser)
     err_laser = ate_rmse(laser_traj, gt, align=True)
     # under unbiased random-walk odometry noise fusion holds parity (the
-    # decisive fusion-wins case is test_fusion_beats_drifting_laser below)
-    assert err < max(1.2 * err_laser, 0.05), \
+    # decisive fusion-wins case is test_fusion_beats_drifting_laser below).
+    # measured fused/laser ratio over seeds 0-5 of this exact setup:
+    # [1.024, 0.914, 0.960, 0.833, 0.984, 1.095] — mean 0.97, max 1.10;
+    # the bound sits just above the observed max (was 1.2 in round 2)
+    assert err < max(1.1 * err_laser, 0.05), \
         f"fusion ATE {err} vs laser {err_laser}"
     # extrinsic must not drift away from truth while refining
     ex = outs[-1].extrinsic
