@@ -37,10 +37,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
-# Fallback CPU baselines measured on this container's host (see --baseline
-# to re-measure; BASELINE_MEASURED.json overrides these constants).
-CPU_BASELINE_FPS = 2.812           # chunked lidar odometry, JAX CPU backend
-CPU_BASELINE_PIPELINE_FPS = 1.0    # chunked full pipeline, JAX CPU backend
+# --baseline must run on the host CPU.  The container's sitecustomize has
+# already imported jax and pinned jax_platforms=axon, so the env var is
+# moot; jax.config.update works ONLY while no array has been created yet —
+# i.e. it must happen here, before any lmono_tpu import.
+if "--baseline" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+# Fallback CPU baselines measured on this container's host, 2026-08-20
+# (BASELINE_MEASURED.json — committed — overrides these constants; re-run
+# `python bench.py --baseline` to refresh it on a new host).
+CPU_BASELINE_FPS = 5.886           # chunked lidar odometry, JAX CPU backend
+CPU_BASELINE_PIPELINE_FPS = 2.852  # chunked full pipeline, JAX CPU backend
+CPU_BASELINE_SYSTEM_FPS = 1.558    # SlamSystem loop+map, JAX CPU backend
 
 N_FRAMES = 120
 CHUNK = 20
@@ -178,7 +187,8 @@ def bench_system(cfg):
     for ch in chunk_list:
         for i in range(CHUNK):
             frames.append(jax.tree.map(lambda x: x[i], ch))
-    system = SlamSystem(cfg, enable_loop=True, enable_mapping=True)
+    system = SlamSystem(cfg, enable_loop=True, enable_mapping=True,
+                        fused_front=True)
 
     est = []
     warm = CHUNK  # first chunk of frames = compile warmup
@@ -219,7 +229,8 @@ def load_baselines() -> dict:
     print("baseline: built-in constants (run `python bench.py --baseline` "
           "to re-measure)", file=sys.stderr)
     return {"odometry_fps": CPU_BASELINE_FPS,
-            "pipeline_fps": CPU_BASELINE_PIPELINE_FPS}
+            "pipeline_fps": CPU_BASELINE_PIPELINE_FPS,
+            "system_fps": CPU_BASELINE_SYSTEM_FPS}
 
 
 def main():
@@ -237,6 +248,8 @@ def main():
 
     if args.baseline:
         jax.config.update("jax_platforms", "cpu")
+        assert jax.default_backend() == "cpu", (
+            "baseline must run on CPU, got " + jax.default_backend())
         print(f"measuring CPU baseline on {_host_fingerprint()} …",
               file=sys.stderr, flush=True)
         odo_fps = bench_odometry(cfg)

@@ -158,6 +158,14 @@ class LoopConfig:
     trans_threshold: float = 20.0     # geometric gate (TRANS_THRESHOLD, m)
     skip_time: float = 0.2            # SKIP_TIME between processed keyframes
     skip_dis: float = 0.5             # SKIP_DIS min travel between keyframes
+    skip_loop_time: float = 0.0       # SKIP_LOOP_TIME: suppress processing
+                                      # this long after an accepted loop
+                                      # (loop_detection_node.cc:211,284)
+    skip_loop_dis: float = 0.0        # SKIP_LOOP_DIS: ... and within this
+                                      # distance of the last loop (:242,285)
+    image_crop: int = 0               # IMAGE_CROP: mask keypoints this many
+                                      # px from the left/right image borders
+                                      # (loop_detection_node.cc:356)
     vocab_dim: int = 128              # global-descriptor codebook size
     posegraph_iters: int = 20
     posegraph_4dof: bool = True
@@ -302,6 +310,58 @@ def kitti_config(sequence: int = 0) -> SystemConfig:
     )
     return SystemConfig(camera=CameraConfig(), tracker=trk, estimator=est,
                         laser_to_camera=KITTI00_T_LC)
+
+
+# HK urban dataset extrinsic (camera-from-laser), from the reference config
+# `hk_config_0314.yaml` `laser_to_camera0`.
+HK_T_LC = (
+    9.9986619699858292e-01, 7.4607839938022578e-04, 1.6341097472710536e-02,
+    -0.1810280764102935,
+    -1.6308919663901481e-02, -3.1954474235968582e-02, 9.9935625815606866e-01,
+    -0.36568386793136597,
+    1.2677692956748719e-03, -9.9948904693514495e-01, -3.1938030898728646e-02,
+    0.08863129079341888,
+    0.0, 0.0, 0.0, 1.0,
+)
+
+
+def hk_config() -> SystemConfig:
+    """HK urban dataset preset (reference `hk_config_0314.yaml` +
+    `hk_cam00.yaml` + `hk_loop_config_0314.yaml` + `hk_map_config_0314.yaml`):
+    1920x1200 PointGrey camera with radtan distortion, tight urban loop gates
+    (4 deg / 1 m with 3 s / 3 m post-loop suppression and a 256 px border
+    crop), and a 16-ring-class LiDAR rig."""
+    return SystemConfig(
+        camera=CameraConfig(
+            width=1920, height=1200,
+            fx=978.536621, fy=957.115245, cx=1009.157043, cy=614.557359,
+            distortion=(-1.5855983900634696e-01, 1.2994555880814793e-01,
+                        -6.0424265983630317e-04, 9.1268093157433972e-04),
+        ),
+        tracker=TrackerConfig(
+            max_features=150,                    # feature_size
+            min_dist=30,                         # min_dist
+            f_threshold=1.0 / 0.15,              # f_threshold (ref units)
+        ),
+        estimator=EstimatorConfig(
+            max_tracks=190,
+            estimate_laser=1, fine_times=0,      # estimate_laser/fine_times
+            factor_weight=1500.0, laser_w=1.0,   # factor_weight/laser_w
+            min_track_cnt=4,                     # track_cnt
+            delay_time=0.09,                     # delay_time
+        ),
+        loop=LoopConfig(
+            min_pnp_inliers=10, min_brief_matches=10,   # hk_loop yaml
+            skip_time=1.0, skip_dis=0.5,
+            search_time=0.5, search_gap=200,
+            angle_threshold_deg=4.0, trans_threshold=1.0,
+            skip_loop_time=3.0, skip_loop_dis=3.0,
+            image_crop=256,
+        ),
+        mapping=MappingConfig(filter_size=11, kernel_type="cross",
+                              blur_type="bilateral", blur_kernel=5),
+        laser_to_camera=HK_T_LC,
+    )
 
 
 def synthetic_config() -> SystemConfig:

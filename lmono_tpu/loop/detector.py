@@ -152,6 +152,8 @@ class LoopDetector:
         self.db = KeyframeDB.empty(cfg)
         self._last_time = -1e9
         self._last_pos = None
+        self._last_loop_time = -1e9   # SKIP_LOOP_* gates (node.cc:284-285)
+        self._last_loop_pos = None
         self._key = jax.random.PRNGKey(7)
 
         H, W = image_shape
@@ -160,6 +162,12 @@ class LoopDetector:
             kp_uv, kp_ok = detect_grid(
                 image, max(8, H // 24), cfg.max_keypoints,
                 jnp.zeros((1, 2)), jnp.zeros((1,), bool))
+            if cfg.image_crop > 0:
+                # IMAGE_CROP: drop keypoints near the left/right borders
+                # (reference masks them at extraction,
+                # loop_detection_node.cc:356)
+                c = float(cfg.image_crop)
+                kp_ok = kp_ok & (kp_uv[:, 0] >= c) & (kp_uv[:, 0] <= W - c)
             desc = brief_describe(image, kp_uv, kp_ok)
             wdesc = brief_describe(image, win_uv, win_mask)
             return kp_uv, kp_ok, desc, wdesc
@@ -240,8 +248,16 @@ class LoopDetector:
         pos = np.asarray(cam_pose.t)
         if time - self._last_time < self.cfg.skip_time:
             return None
+        # SKIP_LOOP_* : after an accepted loop, suppress processing for a
+        # while / within a radius (reference loop_detection_node.cc:211,242)
+        if time - self._last_loop_time < self.cfg.skip_loop_time:
+            return None
         if self._last_pos is not None and \
                 np.linalg.norm(pos - self._last_pos) < self.cfg.skip_dis:
+            return None
+        if self._last_loop_pos is not None and \
+                np.linalg.norm(pos - self._last_loop_pos) \
+                < self.cfg.skip_loop_dis:
             return None
         self._last_time, self._last_pos = time, pos
 
@@ -264,7 +280,7 @@ class LoopDetector:
                 self.db, image, win_uv, win_norm, win_pts, win_mask,
                 win_pnp_mask, cam_pose.t, cam_pose.q, seq,
                 jnp.float32(time), k, cam, lidar_pack)
-            return res
+            return self._note_result(res, time, pos)
         except TypeError:
             pass  # unhashable camera → multi-dispatch fallback below
 
@@ -288,4 +304,14 @@ class LoopDetector:
             kw.update(lidar_edge=le, lidar_edge_mask=lem,
                       lidar_planar=lp, lidar_planar_mask=lpm)
         self.db = self._add(self.db, **kw)
+        return self._note_result(res, time, pos)
+
+    def _note_result(self, res, time, pos):
+        """Record accepted-loop time/position for the SKIP_LOOP_* gates.
+        The host sync on `res.found` is only paid when the gates are on."""
+        if res is not None and (self.cfg.skip_loop_time > 0
+                                or self.cfg.skip_loop_dis > 0):
+            if bool(res.found):
+                self._last_loop_time = time
+                self._last_loop_pos = pos
         return res

@@ -49,7 +49,14 @@ class SlamSystem:
     trajectory (`tests/test_dist_engine.py` asserts end-to-end parity)."""
 
     def __init__(self, cfg: SystemConfig, enable_loop: bool = True,
-                 enable_mapping: bool = True):
+                 enable_mapping: bool = True, fused_front: bool = False):
+        """fused_front=True compiles odometry+tracking+fusion into ONE
+        device program dispatched once per frame (vs three) — worth a full
+        host→device round-trip per frame on remote-attached devices.  The
+        math is the composition of the same three step functions; only XLA
+        fusion boundaries (and hence float rounding at ~1 ulp) can differ,
+        which is why the distributed-parity tests keep the per-lane path
+        (their voxel-bank checks are bitwise)."""
         self.cfg = cfg
         self.cam = camera_from_config(cfg.camera)
         T_CL = None
@@ -106,6 +113,27 @@ class SlamSystem:
             self._opt_graph = (jax.jit(lambda g: optimize_posegraph(
                 g, iters=cfg.loop.posegraph_iters,
                 four_dof=cfg.loop.posegraph_4dof)) if enable_loop else None)
+
+        self._front = None
+        if fused_front and self.mesh is None:
+            from lmono_tpu.estimator.estimator import fusion_step
+            from lmono_tpu.estimator.tracker import tracker_step
+            from lmono_tpu.lidar.odometry import odometry_step
+            cam = self.cam
+
+            def front(odo_st, trk_st, est_st, tkey, ekey, scan, image):
+                odo2, lo = odometry_step(odo_st, scan, cfg.lidar)
+                tkey2, k1 = jax.random.split(tkey)
+                trk2, track = tracker_step(trk_st, image, cam,
+                                           cfg.tracker, k1)
+                ekey2, k2 = jax.random.split(ekey)
+                est2, out = fusion_step(est_st, track, lo["pose"],
+                                        cfg.estimator, k2)
+                return odo2, trk2, est2, tkey2, ekey2, lo, track, out
+
+            # no donation: freshly-init states share zero-filled buffers
+            # via constant pooling, which trips the double-donation check
+            self._front = jax.jit(front)
 
         Kw = cfg.loop.window_points
 
@@ -224,15 +252,26 @@ class SlamSystem:
         """
         time = self.frame_idx * 0.1 if time is None else time
 
-        with self.timer.stage("lidar"):
-            lo = self.lidar.process(scan)
-        laser_pose = Pose(lo["pose"].t, lo["pose"].q)
+        if self._front is not None:
+            # single-dispatch composed front lane
+            with self.timer.stage("front"):
+                (self.lidar.state, self.tracker.state, self.estimator.state,
+                 self.tracker._key, self.estimator._key,
+                 lo, track, out) = self._front(
+                    self.lidar.state, self.tracker.state,
+                    self.estimator.state, self.tracker._key,
+                    self.estimator._key, scan, image)
+            laser_pose = Pose(lo["pose"].t, lo["pose"].q)
+        else:
+            with self.timer.stage("lidar"):
+                lo = self.lidar.process(scan)
+            laser_pose = Pose(lo["pose"].t, lo["pose"].q)
 
-        with self.timer.stage("track"):
-            track = self.tracker.process(image)
+            with self.timer.stage("track"):
+                track = self.tracker.process(image)
 
-        with self.timer.stage("fuse"):
-            out = self.estimator.process(track, laser_pose)
+            with self.timer.stage("fuse"):
+                out = self.estimator.process(track, laser_pose)
 
         fused = Pose(out.pose.t, out.pose.q)
         cam_pose = Pose(out.cam_pose.t, out.cam_pose.q)

@@ -404,3 +404,85 @@ def test_lidar_refinement_fires_on_shipped_presets():
     err_t = float(jnp.linalg.norm(refined.t - rel_true.t))
     err0 = float(jnp.linalg.norm(init.t - rel_true.t))
     assert err_t < 0.5 * err0, (err_t, err0)
+
+
+def test_skip_loop_gates_suppress_processing():
+    """SKIP_LOOP_TIME / SKIP_LOOP_DIS: after an accepted loop, keyframe
+    processing is suppressed for a while / within a radius (reference
+    loop_detection_node.cc:211,242,284-285)."""
+    lcfg = dataclasses.replace(
+        CFG.loop, db_capacity=32, skip_time=0.0, skip_dis=0.0,
+        skip_loop_time=3.0, skip_loop_dis=3.0)
+    det = LoopDetector(lcfg, (CFG.camera.height, CFG.camera.width))
+
+    # simulate an accepted loop at t=10, pos=(0,0,0)
+    class FakeRes:
+        found = np.bool_(True)
+    det._note_result(FakeRes(), 10.0, np.zeros(3))
+    assert det._last_loop_time == 10.0
+
+    # inside the time gate: process_keyframe must return None before
+    # touching any of the (deliberately invalid) array arguments
+    out = det.process_keyframe(None, None, None, None, None, None,
+                               Pose(jnp.zeros(3), jnp.array([1., 0, 0, 0])),
+                               time=12.0)
+    assert out is None
+    # outside the time gate but inside the distance gate: still suppressed
+    out = det.process_keyframe(None, None, None, None, None, None,
+                               Pose(jnp.asarray([1.0, 0, 0]),
+                                    jnp.array([1., 0, 0, 0])),
+                               time=20.0)
+    assert out is None
+    # with gates disabled the same state is NOT suppressed (the default
+    # config has skip_loop_* = 0 — KITTI parity)
+    det2 = LoopDetector(dataclasses.replace(lcfg, skip_loop_time=0.0,
+                                            skip_loop_dis=0.0),
+                        (CFG.camera.height, CFG.camera.width))
+    det2._note_result(FakeRes(), 10.0, np.zeros(3))
+    assert det2._last_loop_time == -1e9  # gates off => no bookkeeping
+
+
+def test_image_crop_masks_border_keypoints():
+    """IMAGE_CROP masks keypoints within the left/right borders at
+    extraction (reference loop_detection_node.cc:356)."""
+    crop = 160
+    lcfg = dataclasses.replace(CFG.loop, db_capacity=32, image_crop=crop)
+    det = LoopDetector(lcfg, (CFG.camera.height, CFG.camera.width))
+    traj = syn.circuit_trajectory(2)
+    img = render_at(Pose(traj.t[0], traj.q[0]))
+    kp_uv, kp_ok, _, _ = det._prep(img, jnp.zeros((1, 2)),
+                                   jnp.zeros((1,), bool))
+    u = np.asarray(kp_uv[:, 0])[np.asarray(kp_ok)]
+    assert u.size > 0, "crop killed every keypoint"
+    assert (u >= crop).all() and (u <= CFG.camera.width - crop).all()
+
+
+def test_hk_config_preset():
+    """HK dataset preset parity (reference hk_config_0314.yaml +
+    hk_cam00.yaml + hk_loop_config_0314.yaml)."""
+    from lmono_tpu.camera import camera_from_config
+    from lmono_tpu.config import HK_T_LC, SystemConfig, hk_config
+
+    cfg = hk_config()
+    assert (cfg.camera.width, cfg.camera.height) == (1920, 1200)
+    assert abs(cfg.camera.fx - 978.536621) < 1e-6
+    assert cfg.camera.distortion[0] != 0.0          # radtan k1
+    assert cfg.estimator.factor_weight == 1500.0
+    assert cfg.estimator.laser_w == 1.0
+    assert cfg.estimator.fine_times == 0
+    assert cfg.loop.angle_threshold_deg == 4.0
+    assert cfg.loop.trans_threshold == 1.0
+    assert cfg.loop.skip_loop_time == 3.0
+    assert cfg.loop.image_crop == 256
+    assert cfg.laser_to_camera == HK_T_LC
+    # camera model builds and round-trips a projection w/ distortion
+    cam = camera_from_config(cfg.camera)
+    p = jnp.asarray([[0.2, -0.1, 8.0]])
+    uv = cam.space_to_plane(p)
+    ray = cam.lift_projective(uv)
+    ray = ray / ray[:, 2:3] * 8.0
+    np.testing.assert_allclose(np.asarray(ray), np.asarray(p),
+                               rtol=0, atol=1e-3)
+    # config tree serializes
+    cfg2 = SystemConfig.from_json(cfg.to_json())
+    assert cfg2.loop.skip_loop_dis == 3.0

@@ -142,3 +142,42 @@ def test_push_based_streams_match_paired_input():
                                       np.asarray(b["pose"].t))
         np.testing.assert_array_equal(np.asarray(a["pose"].q),
                                       np.asarray(b["pose"].q))
+
+
+@pytest.mark.slow
+def test_fused_front_matches_per_lane_path():
+    """`SlamSystem(fused_front=True)` (one device dispatch per frame) must
+    produce the same trajectory as the default per-lane path — the front is
+    the composition of the identical step functions, so only XLA fusion
+    rounding may differ."""
+    cfg = synthetic_config()
+    scene = syn.make_city_scene()
+    T_CL = syn.synthetic_T_CL()
+    cfg = cfg.replace(laser_to_camera=tuple(
+        np.asarray(T_CL.to_mat4()).reshape(-1).tolist()))
+    n = 12
+    traj = syn.circuit_trajectory(n)
+    frames = []
+    for i in range(n):
+        pose_wl = Pose(traj.t[i], traj.q[i])
+        scan = syn.simulate_lidar(scene, pose_wl, cfg.lidar,
+                                  noise_std=0.01, key=jax.random.PRNGKey(i))
+        img = syn.render_camera(
+            scene, pose_wl.compose(T_CL.inverse()), cfg.camera)
+        frames.append((scan, img))
+
+    sys_a = SlamSystem(cfg, enable_loop=True, enable_mapping=True)
+    sys_b = SlamSystem(cfg, enable_loop=True, enable_mapping=True,
+                       fused_front=True)
+    assert sys_b._front is not None
+    gap = 0.0
+    for scan, img in frames:
+        oa = sys_a.process(dict(scan), img)
+        ob = sys_b.process(dict(scan), img)
+        assert bool(oa["is_keyframe"]) == bool(ob["is_keyframe"])
+        assert bool(oa["initialized"]) == bool(ob["initialized"])
+        gap = max(gap, float(np.linalg.norm(
+            np.asarray(oa["pose"].t) - np.asarray(ob["pose"].t))))
+    assert bool(oa["initialized"])
+    assert gap < 5e-3, f"fused-front/per-lane pose gap {gap}"
+    assert "front" in sys_b.timer.summary()
