@@ -22,8 +22,9 @@ over the mesh's keyframe axis by hand — no GSPMD auto-partitioning:
   (`tests/test_dist_posegraph.py`).
 
 Collectives per CG step: one (2L+1+D, C) psum inside Hv + two scalar psums
-for the dot products — 3 tiny latency-bound collectives; see SCALING.md for
-the measured partition efficiency and the ICI latency model.
+for the dot products — 3 tiny latency-bound collectives (a fused-reduction
+variant was tried and rejected for f32 stability, see `_pcg`); SCALING.md
+has the measured partition efficiency and the ICI latency model.
 
 Replaces (at scale) the reference's single-threaded scaffolded pose graph
 (`mono_lidar_mapping/include/loop_detection/Loop_Detector.h:100-168`).
@@ -157,7 +158,18 @@ def _local_resid6(x_loc, q0_loc, anchor_t, seq_dt, seq_dq, seq_mask,
 
 
 def _pcg(Av, b, iters: int, axis: str):
-    """CG with psum-reduced dot products (b, x sharded per device)."""
+    """CG with psum-reduced dot products (b, x sharded per device).
+
+    Note on communication-avoiding CG: fusing the two scalar reductions
+    into one psum via the expansion r'·r' = r·r − 2α(r·Ap) + α²(Ap·Ap)
+    (Chronopoulos–Gear style) was tried and REJECTED — on the gauge-prior
+    pose-graph system (condition ~1e8) the expansion cancels
+    catastrophically in f32 whenever a step reduces the residual sharply,
+    degrading the search directions: the dryrun parity gap went from
+    8.7e-5 m to 6.7e-2 m on a 1.48 m correction.  The classic two-dot CG
+    below (3 collectives/step with the Hv row pack) matches the
+    single-device solver to float tolerance; on real ICI the extra
+    ~1 µs collective is negligible (SCALING.md)."""
 
     def pdot(a, c):
         return jax.lax.psum(jnp.sum(a * c), axis)

@@ -278,14 +278,18 @@ class SlamSystem:
         corrected = self.correction.compose(fused)
         self._raw_poses.append(fused)
 
+        # one host transfer for both lane-gating flags (each bool() would
+        # otherwise cost its own device->host round-trip per frame)
+        kf_flag, init_flag = (bool(v) for v in jax.device_get(
+            (out.is_keyframe, out.initialized)))
+
         loop_fired = False
-        if self.loop is not None and bool(out.is_keyframe) \
-                and bool(out.initialized):
+        if self.loop is not None and kf_flag and init_flag:
             with self.timer.stage("loop"):
                 loop_fired = self._loop_lane(scan, image, cam_pose, time,
                                              lo.get("features"))
 
-        if self.mapper is not None and bool(out.initialized):
+        if self.mapper is not None and init_flag:
             with self.timer.stage("map"):
                 T_CL = Pose(out.extrinsic.t, out.extrinsic.q)
                 self.mapper.process(
