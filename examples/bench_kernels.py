@@ -48,7 +48,8 @@ def bench_knn():
     from lmono_tpu.ops.knn import knn
     from lmono_tpu.ops.pallas.knn import knn_pallas
 
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = (jax.default_backend() == "tpu"
+              and "--skip-pallas-knn" not in _sys.argv)
     Q, k = 4096, 5
     rows = []
     for M in (32_768, 131_072, 524_288, 1_048_576):
@@ -109,7 +110,7 @@ def bench_lk():
     t_vm = _med(f_vm, pts, guess)
     rows["vmap_ms"] = t_vm * 1e3
     if on_tpu:
-        rows["pallas_speedup"] = t_vm / rows["pallas_ms"] * 1e3 / 1e3
+        rows["pallas_speedup"] = t_vm / (rows["pallas_ms"] / 1e3)
     flops = N * iters * patch * patch * 20.0
     best = min(t_vm, rows.get("pallas_ms", 1e9) / 1e3)
     rows["flops"] = flops

@@ -9,6 +9,13 @@ traffic is just Q + M + outputs.
 
 Semantics match `ops.knn.knn` (masked targets never match; short banks pad
 with +inf).  The bank's validity mask rides in the 4th coordinate.
+
+KNOWN TOOLCHAIN ISSUE (2026-08-20): on the axon remote-compile path the
+Mosaic compile of this kernel hangs >25 minutes (isolated probe; the LK
+Pallas kernel compiles fine on the same rig).  Logic parity is covered in
+interpret mode (`tests/test_pallas_knn.py`); the engine's default KNN is
+the XLA `approx_min_k` streaming path (`ops/knn.py`), so nothing in the
+live system traces this kernel unless explicitly requested.
 """
 
 from __future__ import annotations
