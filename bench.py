@@ -52,6 +52,10 @@ CPU_BASELINE_PIPELINE_FPS = 2.852  # chunked full pipeline, JAX CPU backend
 CPU_BASELINE_SYSTEM_FPS = 1.558    # SlamSystem loop+map, JAX CPU backend
 
 N_FRAMES = 120
+# system row: >1 lap of the circuit (lap = 2π·32 m / 0.8 m per frame ≈ 252
+# frames) so the second lap actually revisits lap-1 keyframes and loop
+# closures fire INSIDE the timed region (VERDICT r3 #1)
+N_SYS_FRAMES = 340
 CHUNK = 20
 WARMUP_CHUNKS = 1
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -62,21 +66,21 @@ def _host_fingerprint() -> str:
     return f"{platform.node()}|{platform.machine()}|{os.cpu_count()}cpu"
 
 
-def _stage_frames(cfg, with_images: bool):
+def _stage_frames(cfg, with_images: bool, n_frames: int = N_FRAMES):
     import jax.numpy as jnp
 
     from lmono_tpu.io import synthetic as syn
     from lmono_tpu.utils.lie import Pose
 
     scene = syn.make_city_scene()
-    traj = syn.circuit_trajectory(N_FRAMES)
+    traj = syn.circuit_trajectory(n_frames)
     T_CL = syn.synthetic_T_CL()
     sim = jax.jit(lambda p, k: syn.simulate_lidar(
         scene, p, cfg.lidar, noise_std=0.01, key=k))
     cam_render = jax.jit(lambda p: syn.render_camera(scene, p, cfg.camera))
 
     frames = []
-    for i in range(N_FRAMES):
+    for i in range(n_frames):
         pose = Pose(traj.t[i], traj.q[i])
         s = sim(pose, jax.random.PRNGKey(100 + i))
         fr = {k: s[k] for k in ("points", "ranges", "valid")}
@@ -85,7 +89,7 @@ def _stage_frames(cfg, with_images: bool):
         jax.block_until_ready(fr)
         frames.append(fr)
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
-    n_chunks = N_FRAMES // CHUNK
+    n_chunks = n_frames // CHUNK
     chunks = jax.tree.map(
         lambda x: x[: n_chunks * CHUNK].reshape(
             (n_chunks, CHUNK) + x.shape[1:]), stacked)
@@ -169,46 +173,138 @@ def bench_pipeline(cfg, profile_dir=None):
 def bench_system(cfg):
     """Full SlamSystem frames/s with loop + mapping lanes ENABLED — the
     complete counterpart of the reference's four processes (estimator,
-    loop node, map node, odometry).  Per-frame host dispatch included:
-    this is the interactive path, not the chunked offline path."""
+    loop node, map node, odometry).
+
+    Driven through `SlamSystem.process_chunk`: front + dense-map merge +
+    loop-landmark extraction compile into ONE scanned program per chunk and
+    the keyframe-rate loop lane dispatches asynchronously between chunks —
+    the TPU-shaped equivalent of the reference's four overlapping
+    free-running processes (its throughput also comes from overlap, not
+    from any lane being synchronous, `estimator_node.cc:59-66`).
+
+    The trajectory runs >1 lap of the circuit so second-lap keyframes
+    revisit lap-1 ones and closures fire INSIDE the timed region; ATE is
+    gated on the retro-corrected `final_trajectory` and the run must close
+    ≥1 loop."""
     import jax.numpy as jnp
     import numpy as np
 
     from lmono_tpu.eval.ate import ate_rmse
     from lmono_tpu.io.synthetic import synthetic_T_CL
     from lmono_tpu.pipeline import SlamSystem
-    from lmono_tpu.utils.lie import Pose, pose_stack
+    from lmono_tpu.utils.lie import Pose
 
     T_CL = synthetic_T_CL()
     cfg = cfg.replace(laser_to_camera=tuple(
         np.asarray(T_CL.to_mat4()).reshape(-1).tolist()))
-    chunk_list, traj, T_CL, n_chunks = _stage_frames(cfg, with_images=True)
-    frames = []
-    for ch in chunk_list:
-        for i in range(CHUNK):
-            frames.append(jax.tree.map(lambda x: x[i], ch))
-    system = SlamSystem(cfg, enable_loop=True, enable_mapping=True,
-                        fused_front=True)
+    chunk_list, traj, T_CL, n_chunks = _stage_frames(
+        cfg, with_images=True, n_frames=N_SYS_FRAMES)
+    system = SlamSystem(cfg, enable_loop=True, enable_mapping=True)
 
-    est = []
-    warm = CHUNK  # first chunk of frames = compile warmup
-    t0 = None
-    for i, fr in enumerate(frames):
-        if i == warm:
-            t0 = time.perf_counter()
-        scan = {k: fr[k] for k in ("points", "ranges", "valid")}
-        out = system.process(scan, fr["image"], time=i * 0.1)
-        est.append(out["pose"])
-    jax.block_until_ready(est[-1].t)
+    # warmup: first chunk compiles the chunk program + loop-lane programs
+    system.process_chunk(chunk_list[0], t0=0.0)
+    jax.block_until_ready(system.estimator.state.window.t)
+
+    t0 = time.perf_counter()
+    for i in range(WARMUP_CHUNKS, n_chunks):
+        system.process_chunk(chunk_list[i], t0=i * CHUNK * 0.1)
+    system._reap_loops()
+    jax.block_until_ready(system.estimator.state.window.t)
     dt = time.perf_counter() - t0
-    fps = (len(frames) - warm) / dt
+    n_timed = (n_chunks - WARMUP_CHUNKS) * CHUNK
+    fps = n_timed / dt
 
-    gt = Pose(traj.t[: len(frames)], traj.q[: len(frames)])
-    ate = ate_rmse(pose_stack(est), gt, align=True)
+    est = system.final_trajectory()
+    n = n_chunks * CHUNK
+    gt = Pose(traj.t[:n], traj.q[:n])
+    ate = ate_rmse(est, gt, align=True)
     print(f"system (loop+map): {fps:.3f} fps, ATE {ate:.4f} m, "
           f"{system.n_loops} loops", file=sys.stderr, flush=True)
     assert ate < 0.5, f"system ATE gate failed: {ate}"
-    return fps
+    assert system.n_loops >= 1, (
+        "system bench closed no loops — the revisit lap must fire closures")
+    return fps, system.n_loops
+
+
+def bench_kitti_scale(n_frames: int = 1000):
+    """KITTI-TRUE-scale engine row (VERDICT r3 #3): the FULL system (loop +
+    map lanes on) at `kitti_scale_config` shapes — HDL-64 64×2048 scans,
+    120 m range, 1241×376 images, 150 features, window 10, full bank/DB
+    capacities — over a ≥1000-frame synthetic sequence (~4 laps of the
+    circuit, so closures fire at scale too).
+
+    Frames are GENERATED on the fly per chunk (staging 1000 full-scale
+    frames would hold ~4 GB of HBM for no reason); only `process_chunk`
+    time is in the fps clock.  Reports devkit translational drift %
+    (`eval/kitti_metrics.py`) on the retro-corrected trajectory and the
+    device HBM high-water mark."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lmono_tpu.config import kitti_scale_config
+    from lmono_tpu.eval.kitti_metrics import kitti_odometry_errors
+    from lmono_tpu.io import synthetic as syn
+    from lmono_tpu.pipeline import SlamSystem
+    from lmono_tpu.utils.lie import Pose
+
+    cfg = kitti_scale_config()
+    T_CL = syn.synthetic_T_CL()
+    cfg = cfg.replace(laser_to_camera=tuple(
+        np.asarray(T_CL.to_mat4()).reshape(-1).tolist()))
+    scene = syn.make_city_scene()
+    traj = syn.circuit_trajectory(n_frames)
+    sim = jax.jit(lambda p, k: syn.simulate_lidar(
+        scene, p, cfg.lidar, noise_std=0.01, key=k))
+    cam_render = jax.jit(lambda p: syn.render_camera(scene, p, cfg.camera))
+
+    def gen_chunk(i0: int):
+        frames = []
+        for i in range(i0, i0 + CHUNK):
+            pose = Pose(traj.t[i], traj.q[i])
+            s = sim(pose, jax.random.PRNGKey(300 + i))
+            fr = {k: s[k] for k in ("points", "ranges", "valid")}
+            fr["image"] = cam_render(pose.compose(T_CL.inverse()))
+            frames.append(fr)
+        ch = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+        jax.block_until_ready(ch)
+        return ch
+
+    system = SlamSystem(cfg, enable_loop=True, enable_mapping=True)
+    n_chunks = n_frames // CHUNK
+    system.process_chunk(gen_chunk(0), t0=0.0)        # warmup/compile
+    jax.block_until_ready(system.estimator.state.window.t)
+
+    t_proc = 0.0
+    for i in range(WARMUP_CHUNKS, n_chunks):
+        ch = gen_chunk(i * CHUNK)
+        t0 = time.perf_counter()
+        system.process_chunk(ch, t0=i * CHUNK * 0.1)
+        jax.block_until_ready(system.estimator.state.window.t)
+        t_proc += time.perf_counter() - t0
+    t0 = time.perf_counter()
+    system._reap_loops()
+    t_proc += time.perf_counter() - t0
+    fps = (n_chunks - WARMUP_CHUNKS) * CHUNK / t_proc
+
+    est = system.final_trajectory()
+    n = n_chunks * CHUNK
+    gt = Pose(traj.t[:n], traj.q[:n])
+    errs = kitti_odometry_errors(est, gt)
+    mem = {}
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        mem = {"hbm_in_use_gb": round(ms.get("bytes_in_use", 0) / 2**30, 3),
+               "hbm_peak_gb": round(ms.get("peak_bytes_in_use", 0) / 2**30,
+                                    3),
+               "hbm_limit_gb": round(ms.get("bytes_limit", 0) / 2**30, 3)}
+    except Exception:
+        pass
+    print(f"kitti-scale: {fps:.3f} fps, drift {errs['t_err_pct']:.3f} %, "
+          f"rot {errs['r_err_deg_per_m']:.5f} deg/m, "
+          f"{system.n_loops} loops, hbm {mem}", file=sys.stderr, flush=True)
+    return {"kitti_scale_fps": round(fps, 3),
+            "kitti_scale_drift_pct": round(float(errs["t_err_pct"]), 4),
+            "kitti_scale_loops": system.n_loops, **mem}
 
 
 class _nullcontext:
@@ -217,6 +313,39 @@ class _nullcontext:
 
     def __exit__(self, *a):
         return False
+
+
+def check_regression(out: dict) -> dict:
+    """Perf-regression gate (VERDICT r3 #7): compare this run against the
+    newest committed BENCH_r*.json and flag >10% drops LOUDLY.  Returns a
+    dict of per-metric relative deltas for the JSON line."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                     key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    if not benches:
+        return {}
+    with open(benches[-1]) as f:
+        prev_doc = json.load(f)
+    prev = prev_doc.get("parsed", prev_doc)
+    deltas = {}
+    pairs = [("odometry_fps", out.get("value")),
+             ("pipeline_fps", out.get("pipeline_fps")),
+             ("system_fps", out.get("system_fps"))]
+    for key, cur in pairs:
+        ref = prev.get("value" if key == "odometry_fps" else key)
+        if not (isinstance(ref, (int, float)) and ref > 0 and cur):
+            continue
+        rel = cur / ref - 1.0
+        deltas[key] = round(rel, 4)
+        if rel < -0.10:
+            print(f"PERF REGRESSION: {key} {cur:.2f} vs "
+                  f"{os.path.basename(benches[-1])} {ref:.2f} "
+                  f"({100*rel:+.1f}% — gate is -10%)",
+                  file=sys.stderr, flush=True)
+    return deltas
 
 
 def load_baselines() -> dict:
@@ -240,6 +369,9 @@ def main():
                          "write BASELINE_MEASURED.json")
     ap.add_argument("--profile", action="store_true",
                     help="write jax.profiler traces to /tmp/lmono_profile")
+    ap.add_argument("--skip-kitti-scale", action="store_true",
+                    help="skip the KITTI-true-scale row (64×2048 scans, "
+                         "1000 frames)")
     args = ap.parse_args()
 
     from lmono_tpu.config import synthetic_config
@@ -254,7 +386,7 @@ def main():
               file=sys.stderr, flush=True)
         odo_fps = bench_odometry(cfg)
         pipe_fps = bench_pipeline(cfg)
-        sys_fps = bench_system(cfg)
+        sys_fps, _ = bench_system(cfg)
         out = {"host": _host_fingerprint(),
                "backend": str(jax.devices()[0].platform),
                "odometry_fps": round(odo_fps, 3),
@@ -272,7 +404,7 @@ def main():
         prof + "/odometry" if prof else None))
     pipe_fps = bench_pipeline(cfg, profile_dir=(
         prof + "/pipeline" if prof else None))
-    sys_fps = bench_system(cfg)
+    sys_fps, n_loops = bench_system(cfg)
     if prof:
         print(f"profiler traces: {prof}", file=sys.stderr)
 
@@ -285,9 +417,15 @@ def main():
         "pipeline_vs_baseline": round(
             pipe_fps / base["pipeline_fps"], 3),
         "system_fps": round(sys_fps, 3),
+        "system_loops": n_loops,
     }
     if "system_fps" in base:
         out["system_vs_baseline"] = round(sys_fps / base["system_fps"], 3)
+    if not args.skip_kitti_scale:
+        out.update(bench_kitti_scale())
+    deltas = check_regression(out)
+    if deltas:
+        out["vs_prev_round"] = deltas
     print(json.dumps(out), flush=True)
 
 

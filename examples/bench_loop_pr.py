@@ -39,7 +39,14 @@ def main():
     ap.add_argument("--kf", type=int, default=78,
                     help="number of keyframes (stride 8 frames each; "
                          "~31 kf per lap)")
+    ap.add_argument("--perturb", action="store_true",
+                    help="perturb every revisit-lap keyframe (VERDICT r3 "
+                         "#6): brightness scale 0.7-1.3 + gamma, ±2 m "
+                         "lateral offset, ±10° yaw — viewpoint/illumination "
+                         "robustness instead of same-ray replays")
+    ap.add_argument("--out", type=str, default="LOOP_PR.json")
     args = ap.parse_args()
+    rng = np.random.RandomState(11)
 
     CFG = synthetic_config()
     scene = syn.make_city_scene()
@@ -54,6 +61,7 @@ def main():
     det = LoopDetector(lcfg, (cam_cfg.height, cam_cfg.width))
 
     n_kf = args.kf
+    kf_per_lap = 32          # ≈ 2π·32 m / (0.8 m · stride 8)
     traj = syn.circuit_trajectory(8 * n_kf + 4)
     kf_pos, fired = [], {}
     t0 = time.perf_counter()
@@ -61,7 +69,23 @@ def main():
         i = 8 * k
         pose_wl = Pose(traj.t[i], traj.q[i])
         pose_wc = pose_wl.compose(T_CL.inverse())
+        bright, gamma = 1.0, 1.0
+        if args.perturb and k >= kf_per_lap:
+            # lateral offset ±2 m (camera x = right), yaw ±10°
+            from lmono_tpu.utils.lie import quat_mul, so3_exp_quat
+            lat = jnp.asarray([rng.uniform(-2.0, 2.0), 0.0, 0.0],
+                              jnp.float32)
+            yaw = jnp.asarray([0.0, rng.uniform(-0.1745, 0.1745), 0.0],
+                              jnp.float32)   # camera y = down ⇒ yaw axis
+            pose_wc = Pose(pose_wc.t + quat_rotate(pose_wc.q[None],
+                                                   lat[None])[0],
+                           quat_mul(pose_wc.q, so3_exp_quat(yaw)))
+            bright = rng.uniform(0.7, 1.3)
+            gamma = rng.uniform(0.8, 1.25)
         img = syn.render_camera(scene, pose_wc, cam_cfg)
+        if bright != 1.0:
+            img = jnp.clip(jnp.clip(img * bright, 0.0, 1.0) ** gamma,
+                           0.0, 1.0)
         uv, ok = detect_grid(img, 16, lcfg.window_points,
                              jnp.zeros((1, 2)), jnp.zeros(1, bool))
         rays_w = quat_rotate(pose_wc.q[None], cam.lift_projective(uv))
@@ -88,6 +112,8 @@ def main():
                    kf_pos[: k - gap] - kf_pos[k], axis=-1).min() < 8.0]
     out = {
         "keyframes": n_kf,
+        "perturbed": bool(args.perturb),
+        "vocab_dim": int(det.codebook.shape[1]),
         "underlying_frames": 8 * n_kf + 4,
         "detections": len(fired),
         "true_positives": tp,
@@ -100,7 +126,7 @@ def main():
     }
     print(json.dumps(out, indent=1))
     path = _os.path.join(_os.path.dirname(_os.path.dirname(
-        _os.path.abspath(__file__))), "LOOP_PR.json")
+        _os.path.abspath(__file__))), args.out)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")

@@ -113,6 +113,11 @@ def main():
                     help="total landmarks in the window BA")
     ap.add_argument("--nodes-total", type=int, default=2048,
                     help="total keyframe nodes in the pose graph")
+    ap.add_argument("--posegraph-sweep", type=str, default="2048,8192,16384",
+                    help="comma-separated N values for the pose-graph "
+                         "partition-efficiency-vs-size sweep (VERDICT r3 "
+                         "#5: demonstrate the recovery trend, not assert "
+                         "it)")
     args = ap.parse_args()
 
     w1 = 11
@@ -148,6 +153,19 @@ def main():
         print(f"{n:8d} {tw * 1e3:10.2f} {100 * ew:5.0f}% "
               f"{tp * 1e3:13.2f} {100 * ep:5.0f}%")
 
+    # pose-graph partition efficiency vs problem size: the per-CG-step
+    # collective is O(L+D) (independent of N), so the collective/compute
+    # ratio — and hence the efficiency loss — shrinks as N grows
+    sweep = []
+    for N in (int(x) for x in args.posegraph_sweep.split(",") if x):
+        t1 = bench_posegraph(1, N, reps=5)
+        t8 = bench_posegraph(8, N, reps=5)
+        sweep.append({"nodes": N, "posegraph_1dev_ms": t1 * 1e3,
+                      "posegraph_8dev_ms": t8 * 1e3,
+                      "partition_eff_8dev": t1 / t8})
+        print(f"posegraph sweep N={N}: 1dev {t1*1e3:.1f} ms, "
+              f"8dev {t8*1e3:.1f} ms, eff {100*t1/t8:.0f}%")
+
     out = {
         "note": ("strong scaling on a virtual CPU mesh: one host executes "
                  "all shards, so ideal partition efficiency is 100% (flat "
@@ -158,6 +176,7 @@ def main():
         "posegraph_single_1dev_ms": tp_single * 1e3,
         "posegraph_comm_bytes_per_cg": int((2 * L + 1 + D) * 6 * 4),
         "rows": rows,
+        "posegraph_size_sweep": sweep,
     }
     path = _os.path.join(_os.path.dirname(_os.path.dirname(
         _os.path.abspath(__file__))), "SCALING.json")

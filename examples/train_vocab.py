@@ -1,17 +1,23 @@
 """Train the place-recognition vocabulary (k-means over BRIEF descriptors).
 
 The reference ships an offline-trained DBoW2 vocabulary (`brief_k10L6.bin`,
-k=10 L=6 tree, loaded at `src/loop_detection_node.cc:369`); round 2 stood in
-a random Gaussian projection, which cost recall (0.34 at precision 1.0).
-This trains the real thing: spherical k-means on BRIEF descriptors harvested
-from many rendered viewpoints — unit-norm centroids stored as the codebook,
-so `global_descriptor`'s argmax bucket is exactly the nearest-centroid word
-(±1 descriptors have constant norm).
+k=10 L=6 hierarchical tree ≈ 10⁶ leaf words, loaded at
+`src/loop_detection_node.cc:369`); round 2 stood in a random Gaussian
+projection (recall 0.34 at precision 1.0), round 3 trained a flat 128-word
+spherical k-means (recall 0.55).  This trains the DBoW2-style construction:
+**hierarchical** spherical k-means (branch k at each level, L levels →
+k^L leaf words) on BRIEF descriptors harvested from rendered viewpoints
+with photometric jitter (brightness/gamma) — the leaf centroids are stored
+as one flat codebook, and `global_descriptor`'s argmax bucket is exactly
+the nearest-leaf word (±1 descriptors have constant norm; we can afford the
+exact argmax as one MXU matmul where DBoW2 needs the greedy tree descent).
 
 Writes `lmono_tpu/assets/vocab_brief_{bits}x{dim}.npz`, the committed
 artifact `make_codebook` picks up automatically.
 
-Usage: python examples/train_vocab.py [--dim 128] [--views 160] [--iters 30]
+Usage:
+  python examples/train_vocab.py --branch 10 --levels 3   # 1000 words
+  python examples/train_vocab.py --dim 128                # flat k-means
 """
 
 import os as _os
@@ -37,7 +43,14 @@ from lmono_tpu.utils.lie import Pose, so3_exp_quat
 
 
 def harvest(views: int, kp_per_view: int, cam_cfg) -> np.ndarray:
-    """BRIEF descriptors from random viewpoints in the raycast city."""
+    """BRIEF descriptors from random viewpoints in the raycast city.
+
+    Each view also contributes a photometrically jittered copy (brightness
+    scale + gamma — BRIEF's pairwise comparisons are invariant to monotonic
+    maps, but the blur + bilinear sampling make the bits only *nearly*
+    invariant, and the jitter teaches the vocabulary that residual): the
+    perturbed-lap PR benchmark (`bench_loop_pr.py --perturb`) replays the
+    same nuisances at query time."""
     scene = syn.make_city_scene()
     rng = np.random.RandomState(3)
     desc_fn = jax.jit(lambda img, uv, ok: brief_describe(img, uv, ok))
@@ -57,6 +70,15 @@ def harvest(views: int, kp_per_view: int, cam_cfg) -> np.ndarray:
                              jnp.zeros(1, bool))
         d = desc_fn(img, uv, ok)
         out.append(np.asarray(d)[np.asarray(ok)])
+        # photometric jitter copy (keypoints re-detected on the jittered
+        # image so the corner-position shift is part of the training signal)
+        scale = rng.uniform(0.6, 1.4)
+        gamma = rng.uniform(0.7, 1.4)
+        jimg = jnp.clip(jnp.clip(img * scale, 0.0, 1.0) ** gamma, 0.0, 1.0)
+        juv, jok = detect_grid(jimg, 16, kp_per_view, jnp.zeros((1, 2)),
+                               jnp.zeros(1, bool))
+        jd = desc_fn(jimg, juv, jok)
+        out.append(np.asarray(jd)[np.asarray(jok)])
         if v % 40 == 0:
             print(f"view {v}/{views}: {sum(len(x) for x in out)} descriptors",
                   flush=True)
@@ -95,9 +117,51 @@ def spherical_kmeans(X: np.ndarray, k: int, iters: int, seed: int = 0):
     return np.asarray(C), float(sim), float((cnt > 0).mean())
 
 
+def hierarchical_kmeans(X: np.ndarray, branch: int, levels: int,
+                        iters: int, seed: int = 0):
+    """DBoW2-style vocabulary tree: recursive spherical k-means, `branch`
+    children per node, `levels` deep → branch**levels leaf words
+    (`TemplatedVocabulary.h` k=10 L=6 construction).  Returns the flat
+    (d, branch**levels) leaf-centroid codebook — lookup is an exact argmax
+    matmul over leaves rather than DBoW2's greedy descent."""
+    def rec(idx: np.ndarray, level: int, seed: int) -> list:
+        if level == levels:
+            # leaf: centroid of this cell (unit-normalized mean)
+            c = X[idx].mean(axis=0)
+            n = np.linalg.norm(c)
+            return [c / n if n > 1e-6 else c]
+        k = min(branch, max(1, len(idx)))
+        if len(idx) < 2 * branch:
+            # too few descriptors to split further: pad with copies so the
+            # leaf count stays branch**levels (duplicate words are harmless
+            # — argmax ties resolve deterministically)
+            leaf = rec(idx, levels, seed)
+            return leaf * (branch ** (levels - level))
+        C, _, _ = spherical_kmeans(X[idx], k, iters, seed=seed)
+        a = np.argmax(X[idx] @ C, axis=1)
+        out = []
+        for c in range(branch):
+            sub = idx[a == min(c, k - 1)] if c < k else idx[a == k - 1]
+            if len(sub) == 0:
+                sub = idx[:1]
+            out.extend(rec(sub, level + 1, seed * branch + c + 1))
+        return out
+
+    leaves = rec(np.arange(len(X)), 0, seed + 1)
+    C = np.stack(leaves, axis=1).astype(np.float32)       # (d, k^L)
+    sim = float(np.max(X[: 20000] @ C, axis=1).mean())
+    occ = float(len(np.unique(np.argmax(X[: 20000] @ C, axis=1)))
+                / C.shape[1])
+    return C, sim, occ
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--dim", type=int, default=128,
+                    help="flat k-means word count (ignored with --levels)")
+    ap.add_argument("--branch", type=int, default=10)
+    ap.add_argument("--levels", type=int, default=0,
+                    help=">0: hierarchical k-means, branch**levels words")
     ap.add_argument("--views", type=int, default=160)
     ap.add_argument("--kp-per-view", type=int, default=200)
     ap.add_argument("--iters", type=int, default=30)
@@ -106,7 +170,12 @@ def main():
     cam_cfg = synthetic_config().camera
     X = harvest(args.views, args.kp_per_view, cam_cfg)
     print(f"harvested {len(X)} descriptors from {args.views} views")
-    C, sim, occ = spherical_kmeans(X, args.dim, args.iters)
+    if args.levels > 0:
+        args.dim = args.branch ** args.levels
+        C, sim, occ = hierarchical_kmeans(X, args.branch, args.levels,
+                                          args.iters)
+    else:
+        C, sim, occ = spherical_kmeans(X, args.dim, args.iters)
 
     path = vocab_asset_path(BRIEF_BITS, args.dim)
     _os.makedirs(_os.path.dirname(path), exist_ok=True)

@@ -39,6 +39,11 @@ from lmono_tpu.estimator.tracker import TrackOutput
 from lmono_tpu.estimator.window import WindowState
 from lmono_tpu.utils.lie import Pose, quat_conj, quat_mul, quat_normalize, quat_rotate
 
+# Landmark-sharded window-solve crossover, measured on the 8-way CPU mesh
+# (SCALING.json rows: sharded/dense ratio 2.6x at 1 dev, 1.13x at 2,
+# 0.29x at 4).  Below this many kf shards the dense gather-solve path wins.
+DIST_WINDOW_CROSSOVER = 4
+
 class EstimatorState(NamedTuple):
     window: WindowState
     handeye: HandEyeState
@@ -159,6 +164,24 @@ def fusion_step(state: EstimatorState, track: TrackOutput, laser: Pose,
     # ---- triangulate + solve (only meaningful when window is full)
     if axis is None:
         solve = solve_window
+    elif jax.lax.axis_size(axis) < DIST_WINDOW_CROSSOVER:
+        # measured crossover (SCALING.json): the landmark-sharded window
+        # layout only beats the dense solver from ~4 shards up (at 1-2
+        # shards its halo/duplicated pose-side work pessimizes 2.3-2.6x).
+        # Below the crossover, all_gather the landmark rows, run the DENSE
+        # solver replicated (identical math to the single-device path),
+        # and slice this shard's rows back — never slower than dense.
+        def solve(w, cfg):
+            m = w.feats.ids.shape[0]
+            gathered = jax.tree.map(
+                lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True),
+                w.feats)
+            w2, diag = solve_window(w._replace(feats=gathered), cfg)
+            i = jax.lax.axis_index(axis)
+            sl = jax.tree.map(
+                lambda x: jax.lax.dynamic_slice_in_dim(x, i * m, m, 0),
+                w2.feats)
+            return w2._replace(feats=sl), diag
     else:
         from lmono_tpu.parallel.dist_window import _lm_loop
         solve = lambda w, cfg: _lm_loop(w, cfg, axis)
@@ -242,8 +265,11 @@ class FusionEstimator:
                 s, tr, Pose(lt, lq), cfg, k))
         self._key = jax.random.PRNGKey(42)
 
-    def process(self, track: TrackOutput, laser_pose: Pose) -> FusionOutput:
-        self._key, k = jax.random.split(self._key)
+    def process(self, track: TrackOutput, laser_pose: Pose,
+                key=None) -> FusionOutput:
+        """key: optional explicit PRNG key (see FeatureTracker.process)."""
+        if key is None:
+            self._key, key = jax.random.split(self._key)
         self.state, out = self._step(self.state, track, laser_pose.t,
-                                     laser_pose.q, k)
+                                     laser_pose.q, key)
         return out

@@ -152,7 +152,12 @@ class FeatureTracker:
         self.state = TrackerState.init(cfg, height, width)
         self._key = jax.random.PRNGKey(0)
 
-    def process(self, image) -> TrackOutput:
-        self._key, k = jax.random.split(self._key)
-        self.state, out = self._step(self.state, image, k)
+    def process(self, image, key=None) -> TrackOutput:
+        """key: optional explicit PRNG key — callers that coordinate one
+        key schedule across lanes (SlamSystem per-lane path vs
+        `fused.fused_step`) pass it so all drive modes trace the same
+        random draws."""
+        if key is None:
+            self._key, key = jax.random.split(self._key)
+        self.state, out = self._step(self.state, image, key)
         return out

@@ -163,9 +163,13 @@ class LoopDetector:
                 image, max(8, H // 24), cfg.max_keypoints,
                 jnp.zeros((1, 2)), jnp.zeros((1,), bool))
             if cfg.image_crop > 0:
-                # IMAGE_CROP: drop keypoints near the left/right borders
-                # (reference masks them at extraction,
-                # loop_detection_node.cc:356)
+                # IMAGE_CROP: drop keypoints near the left/right borders.
+                # NOTE: intentional extension of the yaml's intent — the
+                # reference builds the crop MASK (loop_detection_node.cc:356)
+                # but applies it only in the ORB path (KeyFrame.cc passes it
+                # solely to orb_detector->detect); its FAST+BRIEF path (the
+                # one both shipped datasets run, use_orb: 0) ignores it.
+                # Set image_crop=0 for strict FAST-path parity.
                 c = float(cfg.image_crop)
                 kp_ok = kp_ok & (kp_uv[:, 0] >= c) & (kp_uv[:, 0] <= W - c)
             desc = brief_describe(image, kp_uv, kp_ok)
@@ -235,23 +239,35 @@ class LoopDetector:
     def process_keyframe(self, image, cam, win_uv, win_norm, win_pts,
                          win_mask, cam_pose: Pose, time: float,
                          win_pnp_mask=None, lidar_features=None,
-                         extrinsic: Pose | None = None):
+                         extrinsic: Pose | None = None,
+                         defer_note: bool = False, pos=None):
         """Returns LoopResult or None (skip-gated).
 
         lidar_features: optional (edge, edge_mask, planar, planar_mask) in
         the current sensor frame (already cropped/padded to the DB's
         kf_edge_points / kf_planar_points capacities); with `extrinsic`
         (T_CL) it enables GN refinement of the loop relative pose.
+
+        defer_note=True skips the host sync on `res.found` (async callers
+        reap the result later and record accepted loops via `note_loop`);
+        the SKIP_LOOP_* gates then see loops with reap latency.
+        pos: optionally the already-fetched numpy position (avoids a
+        device→host transfer when the caller batched it).
         """
         import numpy as np
 
-        pos = np.asarray(cam_pose.t)
+        pos = np.asarray(cam_pose.t) if pos is None else np.asarray(pos)
         if time - self._last_time < self.cfg.skip_time:
             return None
         # SKIP_LOOP_* : after an accepted loop, suppress processing for a
         # while / within a radius (reference loop_detection_node.cc:211,242)
         if time - self._last_loop_time < self.cfg.skip_loop_time:
             return None
+        # reference parity: last_skip_time advances once the TIME gates
+        # pass, even when a distance gate then rejects the frame
+        # (loop_detection_node.cc:234) — under distance-gate churn the
+        # node stays time-suppressed
+        self._last_time = time
         if self._last_pos is not None and \
                 np.linalg.norm(pos - self._last_pos) < self.cfg.skip_dis:
             return None
@@ -259,7 +275,7 @@ class LoopDetector:
                 np.linalg.norm(pos - self._last_loop_pos) \
                 < self.cfg.skip_loop_dis:
             return None
-        self._last_time, self._last_pos = time, pos
+        self._last_pos = pos
 
         if win_pnp_mask is None:
             win_pnp_mask = win_mask
@@ -269,9 +285,17 @@ class LoopDetector:
                      and self.lidar_cfg is not None
                      and extrinsic is not None)
 
+        # fused single-dispatch path needs the camera hashable (static jit
+        # capture); probe hash() itself rather than catching TypeError
+        # around the whole dispatch (a tracing bug must surface, not fall
+        # through to the slow path)
         try:
-            # fused single-dispatch path (CameraModel must be hashable for
-            # static capture; params are weakly-referenced jnp constants)
+            hash(cam)
+            cam_hashable = True
+        except TypeError:
+            cam_hashable = False
+
+        if cam_hashable:
             lidar_pack = None
             if use_lidar:
                 le, lem, lp, lpm = lidar_features
@@ -280,9 +304,7 @@ class LoopDetector:
                 self.db, image, win_uv, win_norm, win_pts, win_mask,
                 win_pnp_mask, cam_pose.t, cam_pose.q, seq,
                 jnp.float32(time), k, cam, lidar_pack)
-            return self._note_result(res, time, pos)
-        except TypeError:
-            pass  # unhashable camera → multi-dispatch fallback below
+            return res if defer_note else self._note_result(res, time, pos)
 
         kp_uv, kp_ok, desc, wdesc = self._prep(image, win_uv, win_mask)
         kp_norm = cam.lift_to_normalized(kp_uv)
@@ -304,7 +326,7 @@ class LoopDetector:
             kw.update(lidar_edge=le, lidar_edge_mask=lem,
                       lidar_planar=lp, lidar_planar_mask=lpm)
         self.db = self._add(self.db, **kw)
-        return self._note_result(res, time, pos)
+        return res if defer_note else self._note_result(res, time, pos)
 
     def _note_result(self, res, time, pos):
         """Record accepted-loop time/position for the SKIP_LOOP_* gates.
@@ -312,6 +334,11 @@ class LoopDetector:
         if res is not None and (self.cfg.skip_loop_time > 0
                                 or self.cfg.skip_loop_dis > 0):
             if bool(res.found):
-                self._last_loop_time = time
-                self._last_loop_pos = pos
+                self.note_loop(time, pos)
         return res
+
+    def note_loop(self, time, pos) -> None:
+        """Record an accepted loop for the SKIP_LOOP_* gates (called by
+        async reapers that checked `res.found` themselves)."""
+        self._last_loop_time = time
+        self._last_loop_pos = pos

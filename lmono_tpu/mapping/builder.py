@@ -193,8 +193,23 @@ class MapBuilder:
         self.frames += 1
         if self.frames % self.cfg.flush_every == 0:
             self._flush_active()
+        # n_points stays a device scalar: converting it here would force a
+        # host sync every frame (callers that want the number pay the sync
+        # themselves)
         return {"depth": depth, "depth_mask": dmask,
-                "n_points": self._archived_n + int(jnp.sum(self.map.mask))}
+                "n_points": self._archived_n + jnp.sum(self.map.mask)}
+
+    def absorb_chunk(self, cmap: ColorMap, n_frames: int) -> None:
+        """Adopt the active bank carried through a chunked system program
+        (`fused.system_chunk`) and advance the flush cadence — flushes land
+        on chunk boundaries instead of exact `flush_every` multiples (the
+        reference's every-10-frames PLY/clear cycle, Map_Builder.cc:82-98,
+        is itself only cadence, not semantics)."""
+        prev = self.frames
+        self.map = cmap
+        self.frames += n_frames
+        if self.frames // self.cfg.flush_every > prev // self.cfg.flush_every:
+            self._flush_active()
 
     def save_ply(self, path: str) -> int:
         m = np.asarray(self.map.mask)

@@ -54,9 +54,16 @@ def knn(query: jax.Array, target: jax.Array, target_mask: jax.Array,
             qs = q.astype(tsel.dtype)
             q2 = jnp.sum(q * q, axis=-1, keepdims=True)
             # only the cross term runs in select_dtype; accumulation and the
-            # squared-norm terms stay f32
-            d2 = (q2 - 2.0 * jnp.dot(qs, tsel.T,
-                                     preferred_element_type=jnp.float32)
+            # squared-norm terms stay f32.  precision=HIGHEST: the TPU MXU
+            # multiplies f32 inputs at bf16 precision by default, which at
+            # world-frame magnitudes (|p| ~ 100 m ⇒ q·t ~ 1e4) injects
+            # O(10 m²) errors into d2 — catastrophic for 1.5 m gates.  The
+            # inner dim is 3, so the matmul is output-bound and the 6-pass
+            # f32 mode costs ~nothing.
+            d2 = (q2 - 2.0 * jnp.dot(
+                qs, tsel.T, preferred_element_type=jnp.float32,
+                precision=(None if select_dtype is not None
+                           else jax.lax.Precision.HIGHEST))
                   + t2[None, :])
             d2 = jnp.where(target_mask[None, :], d2, _INF)
             vals, idx = jax.lax.approx_min_k(d2, k)
@@ -94,8 +101,12 @@ def knn(query: jax.Array, target: jax.Array, target_mask: jax.Array,
         best_d, best_i = carry              # (Q,k), (Q,k)
         t, m, base = inp                    # (chunk,3), (chunk,), ()
         t2 = jnp.sum(t * t, axis=-1)        # (chunk,)
-        # ||q-t||² = q² - 2 q·t + t²  (MXU-friendly inner product)
-        d2 = q2 - 2.0 * (query @ t.T) + t2[None, :]
+        # ||q-t||² = q² - 2 q·t + t²  (MXU-friendly inner product; HIGHEST:
+        # see the slab path — bf16 default precision corrupts d2 at
+        # world-frame magnitudes)
+        d2 = (q2 - 2.0 * jnp.dot(query, t.T,
+                                 precision=jax.lax.Precision.HIGHEST)
+              + t2[None, :])
         d2 = jnp.where(m[None, :], d2, _INF)
         idx = base + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
         # merge with running best and re-take top-k smallest

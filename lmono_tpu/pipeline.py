@@ -7,10 +7,26 @@ are function boundaries with explicit array schemas, the three worker
 threads become jitted step functions invoked per frame, and the loop lane
 runs at keyframe rate like the reference's SKIP_TIME-gated loop thread.
 
+Two drive modes:
+
+* `process(scan, image)` — interactive, one frame per call.  The front
+  (odometry+tracking+fusion) is ONE device dispatch (`fused_step`); the
+  loop lane dispatches asynchronously at keyframe rate and its result is
+  reaped on a later frame, so detection/verification overlaps subsequent
+  frames instead of blocking the frame loop — the same latency-hiding the
+  reference gets from running the loop node as a separate OS process
+  (`estimator_node.cc:59-66`, `loop_detection_node.cc:382`).
+* `process_chunk(frames)` — offline/bench: the whole frame-rate dataflow
+  (front + dense-map merge + loop-landmark extraction) compiles into one
+  `lax.scan` program per chunk (`fused.system_chunk`); only the
+  keyframe-rate loop lane stays host-driven, fed by the chunk outputs.
+
 The pose-graph correction feeds back multiplicatively: fused poses are
 emitted as  T_corrected = drift_correction ∘ T_fused  (the reference's
 `loopCorrection` re-anchors the whole window the same way,
-Estimator.cc:309-365).
+Estimator.cc:309-365).  Corrections take effect from the frame after the
+reap (interactive) or the next chunk (chunked) — the reference's
+loop-node→estimator ROS round trip has the same latency.
 """
 
 from __future__ import annotations
@@ -34,6 +50,7 @@ from lmono_tpu.loop import (
     graph_poses,
     optimize_posegraph,
 )
+from lmono_tpu.loop.landmarks import subsample_features, window_landmarks
 from lmono_tpu.mapping import MapBuilder
 from lmono_tpu.utils.lie import Pose
 from lmono_tpu.utils.timing import StageTimer
@@ -53,10 +70,15 @@ class SlamSystem:
         """fused_front=True compiles odometry+tracking+fusion into ONE
         device program dispatched once per frame (vs three) — worth a full
         host→device round-trip per frame on remote-attached devices.  The
-        math is the composition of the same three step functions; only XLA
-        fusion boundaries (and hence float rounding at ~1 ulp) can differ,
-        which is why the distributed-parity tests keep the per-lane path
-        (their voxel-bank checks are bitwise)."""
+        program is literally `fused.fused_step`, the same function
+        `FusedPipeline`/`process_chunk` scan over frames, so the per-frame
+        and chunked paths share one key schedule and one math path (only
+        XLA fusion boundaries, ~1 ulp, can differ).  The distributed-parity
+        tests keep the per-lane path (their voxel-bank checks are bitwise).
+
+        fused_front is incompatible with a device mesh (kf_shards ×
+        map_shards > 1): the sharded engine re-lays the per-lane programs.
+        """
         self.cfg = cfg
         self.cam = camera_from_config(cfg.camera)
         T_CL = None
@@ -67,6 +89,11 @@ class SlamSystem:
         pc = cfg.parallel
         self.mesh = None
         if pc.kf_shards * pc.map_shards > 1:
+            if fused_front:
+                raise ValueError(
+                    "fused_front=True is unsupported with a device mesh "
+                    "(kf_shards*map_shards > 1): the sharded engine re-lays "
+                    "the per-lane programs over the mesh instead")
             from lmono_tpu.parallel.dist_engine import (
                 check_divisible, make_engine_mesh)
             self.mesh = make_engine_mesh(pc.kf_shards, pc.map_shards)
@@ -114,100 +141,27 @@ class SlamSystem:
                 g, iters=cfg.loop.posegraph_iters,
                 four_dof=cfg.loop.posegraph_4dof)) if enable_loop else None)
 
+        from lmono_tpu.fused import FusedState, fused_step, system_chunk
+        self._FusedState = FusedState
+        self._fkey = jax.random.PRNGKey(7)
         self._front = None
         if fused_front and self.mesh is None:
-            from lmono_tpu.estimator.estimator import fusion_step
-            from lmono_tpu.estimator.tracker import tracker_step
-            from lmono_tpu.lidar.odometry import odometry_step
-            cam = self.cam
-
-            def front(odo_st, trk_st, est_st, tkey, ekey, scan, image):
-                odo2, lo = odometry_step(odo_st, scan, cfg.lidar)
-                tkey2, k1 = jax.random.split(tkey)
-                trk2, track = tracker_step(trk_st, image, cam,
-                                           cfg.tracker, k1)
-                ekey2, k2 = jax.random.split(ekey)
-                est2, out = fusion_step(est_st, track, lo["pose"],
-                                        cfg.estimator, k2)
-                return odo2, trk2, est2, tkey2, ekey2, lo, track, out
-
             # no donation: freshly-init states share zero-filled buffers
             # via constant pooling, which trips the double-donation check
-            self._front = jax.jit(front)
+            self._front = jax.jit(lambda s, fr: fused_step(
+                s, fr, self.cam, cfg, with_features=enable_loop))
+        self._enable_loop = enable_loop
+        self._enable_map = enable_mapping
+        self._chunk = None
+        if self.mesh is None:
+            self._chunk = jax.jit(lambda s, cm, fr, ct, cq: system_chunk(
+                s, cm, fr, Pose(ct, cq), self.cam, cfg,
+                enable_mapping, enable_loop))
 
         Kw = cfg.loop.window_points
-
-        def extract_landmarks(w, scan_points, scan_valid):
-            """Newest-frame window landmarks for the loop lane.
-
-            All live features enter descriptor matching; 3D for PnP comes
-            from the *LiDAR* depth image (projected + morphologically
-            completed) sampled at the feature pixel — metric and far more
-            accurate than the monocular inverse depths, which is what makes
-            the PnP verification reliable (triangulated depths gave ~0 PnP
-            inliers at true revisits).
-            Returns (pts_w, norm, uv, sel_match, sel_pnp).
-            """
-            from lmono_tpu.mapping.depth import complete_depth, project_cloud
-            from lmono_tpu.utils.lie import quat_mul, quat_normalize, quat_rotate
-
-            slot = jnp.minimum(w.count - 1, w.t.shape[0] - 1).astype(jnp.int32)
-            feats = w.feats
-            sel = feats.alive & feats.obs_mask[:, slot]
-            norm = feats.obs[:, slot]
-            uv = self.cam.undist_to_plane(norm)
-
-            T_CL_ = Pose(w.ex_t, w.ex_q)
-            cam_pose = Pose(w.t[slot], w.q[slot]).compose(T_CL_.inverse())
-
-            # --- LiDAR depth at feature pixels (nearest-valid sampling)
-            pts_cam_scan = T_CL_.apply(scan_points.reshape(-1, 3))
-            depth_img, dmask = project_cloud(
-                pts_cam_scan, scan_valid.reshape(-1), self.cam,
-                cfg.mapping.depth_min, cfg.mapping.depth_max)
-            depth_f, fmask = complete_depth(depth_img, dmask, cfg.mapping)
-            ui = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0,
-                          depth_f.shape[1] - 1)
-            vi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0,
-                          depth_f.shape[0] - 1)
-            z_lidar = depth_f[vi, ui]
-            has_lidar = fmask[vi, ui] & (z_lidar > cfg.mapping.depth_min) \
-                & (z_lidar < cfg.mapping.depth_max * 0.9)
-
-            # --- fallback: triangulated inverse depth (weaker, but covers
-            # features above the LiDAR's vertical FoV)
-            T_LC = T_CL_.inverse()
-            cam_t = w.t + quat_rotate(w.q, jnp.broadcast_to(
-                T_LC.t, (w.t.shape[0], 3)))
-            cam_q = quat_normalize(quat_mul(w.q, T_LC.q))
-            a = feats.anchor
-            n_a = jnp.take_along_axis(feats.obs, a[:, None, None],
-                                      axis=1)[:, 0]
-            tri_depth = 1.0 / jnp.maximum(feats.inv_depth, 1e-4)
-            p_ca = jnp.concatenate(
-                [n_a, jnp.ones_like(n_a[:, :1])], -1) * tri_depth[:, None]
-            p_w_tri = quat_rotate(cam_q[a], p_ca) + cam_t[a]
-            p_c_tri = cam_pose.apply_inv(p_w_tri)
-            z_tri = p_c_tri[..., 2]
-            has_tri = feats.depth_ok & (z_tri > 0.5)
-
-            ray = jnp.concatenate([norm, jnp.ones_like(norm[:, :1])], -1)
-            z = jnp.where(has_lidar, z_lidar, z_tri)
-            pts_w = cam_pose.apply(ray * z[:, None])
-            sel_pnp = sel & (has_lidar | has_tri)
-            if Kw >= sel.shape[0]:
-                return (pts_w[:Kw], norm[:Kw], uv[:Kw], sel[:Kw],
-                        sel_pnp[:Kw])
-            # Kw < max_tracks: keep the BEST Kw landmarks, not the first Kw
-            # slot rows — rank by (selected, PnP-usable, track length) so a
-            # smaller loop-lane budget still carries the strongest features.
-            track_len = jnp.sum(feats.obs_mask, axis=1).astype(jnp.float32)
-            score = (sel.astype(jnp.float32) * 1e6
-                     + sel_pnp.astype(jnp.float32) * 1e3 + track_len)
-            idx = jax.lax.top_k(score, Kw)[1]
-            return (pts_w[idx], norm[idx], uv[idx], sel[idx], sel_pnp[idx])
-
-        self._extract_landmarks = jax.jit(extract_landmarks)
+        self._extract_landmarks = jax.jit(
+            lambda w, sp, sv: window_landmarks(
+                w, self.cam, cfg.mapping, Kw, scan_points=sp, scan_valid=sv))
 
         self.correction = Pose.identity()   # drift fix from the pose graph
         self.timer = StageTimer()
@@ -216,7 +170,9 @@ class SlamSystem:
         # history for retro-corrected trajectory export
         self._raw_poses: list = []      # fused laser pose per frame (uncorrected)
         self._node_frames: list = []    # frame index of each pose-graph node
-        self._node_raw_cam: list = []   # corrected-at-the-time cam pose per node
+        self._node_raw_cam: list = []   # uncorrected cam pose per node
+        self._n_nodes = 0               # host mirror of pose-graph node count
+        self._pending: list = []        # dispatched, un-reaped loop detections
         # push-based stream front (MeasurementManager parity): scans and
         # images arrive on independent clocks and are paired by timestamp
         from lmono_tpu.io.sync import MeasurementSync
@@ -249,49 +205,64 @@ class SlamSystem:
         """One frame: scan = {points, ranges, valid}; image (H, W) in [0,1].
 
         Returns dict with fused pose (loop-corrected), extrinsic, stats.
+        `loop` reports detections APPLIED this frame (detections dispatch
+        asynchronously at the keyframe and are reaped on a later frame).
         """
         time = self.frame_idx * 0.1 if time is None else time
+        applied = self._reap_loops()
 
         if self._front is not None:
-            # single-dispatch composed front lane
+            # single-dispatch composed front lane (fused_step)
             with self.timer.stage("front"):
-                (self.lidar.state, self.tracker.state, self.estimator.state,
-                 self.tracker._key, self.estimator._key,
-                 lo, track, out) = self._front(
-                    self.lidar.state, self.tracker.state,
-                    self.estimator.state, self.tracker._key,
-                    self.estimator._key, scan, image)
-            laser_pose = Pose(lo["pose"].t, lo["pose"].q)
+                fst = self._FusedState(self.lidar.state, self.tracker.state,
+                                       self.estimator.state, self._fkey)
+                fst2, res = self._front(fst, {**scan, "image": image})
+                (self.lidar.state, self.tracker.state,
+                 self.estimator.state, self._fkey) = fst2
+            lidar_feats = res.get("features")
         else:
             with self.timer.stage("lidar"):
                 lo = self.lidar.process(scan)
-            laser_pose = Pose(lo["pose"].t, lo["pose"].q)
 
+            # same key schedule as fused_step: split(key,3) → (carry,
+            # tracker, estimator) — all drive modes trace identical draws
+            self._fkey, k1, k2 = jax.random.split(self._fkey, 3)
             with self.timer.stage("track"):
-                track = self.tracker.process(image)
+                track = self.tracker.process(image, key=k1)
 
             with self.timer.stage("fuse"):
-                out = self.estimator.process(track, laser_pose)
+                out = self.estimator.process(track, Pose(lo["pose"].t,
+                                                         lo["pose"].q),
+                                             key=k2)
+            res = {
+                "pose_t": out.pose.t, "pose_q": out.pose.q,
+                "cam_t": out.cam_pose.t, "cam_q": out.cam_pose.q,
+                "ex_t": out.extrinsic.t, "ex_q": out.extrinsic.q,
+                "is_keyframe": out.is_keyframe,
+                "initialized": out.initialized,
+                "n_tracked": out.n_tracked,
+            }
+            lidar_feats = lo.get("features")
 
-        fused = Pose(out.pose.t, out.pose.q)
-        cam_pose = Pose(out.cam_pose.t, out.cam_pose.q)
+        fused = Pose(res["pose_t"], res["pose_q"])
+        cam_pose = Pose(res["cam_t"], res["cam_q"])
         corrected = self.correction.compose(fused)
         self._raw_poses.append(fused)
 
         # one host transfer for both lane-gating flags (each bool() would
         # otherwise cost its own device->host round-trip per frame)
         kf_flag, init_flag = (bool(v) for v in jax.device_get(
-            (out.is_keyframe, out.initialized)))
+            (res["is_keyframe"], res["initialized"])))
 
-        loop_fired = False
         if self.loop is not None and kf_flag and init_flag:
             with self.timer.stage("loop"):
-                loop_fired = self._loop_lane(scan, image, cam_pose, time,
-                                             lo.get("features"))
+                self._loop_lane(scan, image, cam_pose,
+                                Pose(res["ex_t"], res["ex_q"]), time,
+                                lidar_feats)
 
         if self.mapper is not None and init_flag:
             with self.timer.stage("map"):
-                T_CL = Pose(out.extrinsic.t, out.extrinsic.q)
+                T_CL = Pose(res["ex_t"], res["ex_q"])
                 self.mapper.process(
                     scan["points"].reshape(-1, 3),
                     scan["valid"].reshape(-1),
@@ -303,71 +274,155 @@ class SlamSystem:
             "pose": corrected,
             "pose_raw": fused,
             "cam_pose": self.correction.compose(cam_pose),
-            "extrinsic": Pose(out.extrinsic.t, out.extrinsic.q),
-            "is_keyframe": bool(out.is_keyframe),
-            "initialized": bool(out.initialized),
-            "loop": loop_fired,
-            "n_tracked": int(out.n_tracked),
+            "extrinsic": Pose(res["ex_t"], res["ex_q"]),
+            "is_keyframe": kf_flag,
+            "initialized": init_flag,
+            "loop": applied > 0,
+            "n_tracked": int(res["n_tracked"]),
         }
 
     # ------------------------------------------------------------------
-    def _loop_lane(self, scan, image, cam_pose: Pose, time: float,
-                   lidar_feats=None) -> bool:
-        """Keyframe lane: descriptor DB + detection + pose-graph correction."""
+    def process_chunk(self, frames: dict, t0: Optional[float] = None,
+                      dt: float = 0.1) -> dict:
+        """Offline/bench drive: frames is a pytree with leading (F,) axis
+        ({points, ranges, valid, image}).  The front, dense-map merge and
+        loop-landmark extraction run as ONE device program
+        (`fused.system_chunk`); the keyframe-rate loop lane dispatches
+        asynchronously per keyframe afterwards.  Returns the per-frame
+        output arrays (leading (F,) axis)."""
+        if self._chunk is None:
+            raise ValueError("process_chunk requires mesh-less config")
+        t0 = self.frame_idx * dt if t0 is None else t0
+        applied = self._reap_loops()   # correction current before dispatch
+
+        from lmono_tpu.mapping.builder import ColorMap
+        cmap = self.mapper.map if self.mapper is not None \
+            else ColorMap.empty(8)
+        with self.timer.stage("chunk"):
+            fst = self._FusedState(self.lidar.state, self.tracker.state,
+                                   self.estimator.state, self._fkey)
+            fst2, cmap2, outs = self._chunk(fst, cmap, frames,
+                                            self.correction.t,
+                                            self.correction.q)
+            (self.lidar.state, self.tracker.state,
+             self.estimator.state, self._fkey) = fst2
+        if self.mapper is not None:
+            F = int(np.shape(outs["pose_t"])[0])
+            self.mapper.absorb_chunk(cmap2, F)
+        F = int(np.shape(outs["pose_t"])[0])
+
+        for i in range(F):
+            self._raw_poses.append(Pose(outs["pose_t"][i],
+                                        outs["pose_q"][i]))
+        if self.loop is not None:
+            with self.timer.stage("loop"):
+                kf, init, ccam_t = jax.device_get(
+                    (outs["is_keyframe"], outs["initialized"],
+                     outs["ccam_t"]))
+                for i in range(F):
+                    if kf[i] and init[i]:
+                        self._loop_lane_chunk(outs, frames, i,
+                                              t0 + i * dt, ccam_t[i])
+        self.frame_idx += F
+        outs["loops_applied"] = applied
+        return outs
+
+    # ------------------------------------------------------------------
+    def _loop_lane(self, scan, image, cam_pose: Pose, extrinsic: Pose,
+                   time: float, lidar_feats=None) -> None:
+        """Keyframe lane (interactive): extract landmarks, dispatch the
+        fused detect+add program asynchronously, queue the result for a
+        later reap."""
         w = self.estimator.state.window
-        pts_w, norm, uv, sel, sel_pnp = self._extract_landmarks(
-            w, scan["points"], scan["valid"])
+        lm = self._extract_landmarks(w, scan["points"], scan["valid"])
         # 3D points were built in the estimator frame; shift to corrected
         corr_pose = self.correction.compose(cam_pose)
-        pts_w = self.correction.apply(pts_w)
+        pts_w = self.correction.apply(lm.pts_w)
 
         lidar_pack = None
-        ext = None
         if lidar_feats is not None:
-            Ke = self.cfg.loop.kf_edge_points
-            Kp = self.cfg.loop.kf_planar_points
-
-            def sub(x, m, cap):
-                stride = max(1, x.shape[0] // cap)
-                return x[::stride][:cap], m[::stride][:cap]
-
-            le, lem = sub(lidar_feats.edge_points, lidar_feats.edge_mask, Ke)
-            lp, lpm = sub(lidar_feats.planar_points,
-                          lidar_feats.planar_mask, Kp)
+            le, lem = subsample_features(lidar_feats.edge_points,
+                                         lidar_feats.edge_mask,
+                                         self.cfg.loop.kf_edge_points)
+            lp, lpm = subsample_features(lidar_feats.planar_points,
+                                         lidar_feats.planar_mask,
+                                         self.cfg.loop.kf_planar_points)
             lidar_pack = (le, lem, lp, lpm)
-            wst = self.estimator.state.window
-            ext = Pose(wst.ex_t, wst.ex_q)
 
         res = self.loop.process_keyframe(
-            image, self.cam, uv, norm, pts_w, sel,
-            corr_pose, time, win_pnp_mask=sel_pnp,
-            lidar_features=lidar_pack, extrinsic=ext)
-
-        # every processed keyframe becomes a pose-graph node
+            image, self.cam, lm.uv, lm.norm, pts_w, lm.sel,
+            corr_pose, time, win_pnp_mask=lm.sel_pnp,
+            lidar_features=lidar_pack, extrinsic=extrinsic,
+            defer_note=True)
         if res is None:
-            return False
-        node_idx = int(self.loop.db.count) - 1  # slot just written
-        node_pose = self.correction.compose(cam_pose)
-        self.graph = graph_add_node(self.graph, node_pose)
+            return
+        self._add_node(corr_pose, cam_pose, res, time)
+
+    def _loop_lane_chunk(self, outs, frames, i: int, time: float,
+                         pos_np) -> None:
+        """Keyframe lane fed by `system_chunk` per-frame outputs (landmarks
+        and LiDAR features were extracted on-device inside the chunk)."""
+        corr_pose = Pose(outs["ccam_t"][i], outs["ccam_q"][i])
+        lidar_pack = (outs["loop_edge"][i], outs["loop_edge_mask"][i],
+                      outs["loop_planar"][i], outs["loop_planar_mask"][i])
+        res = self.loop.process_keyframe(
+            frames["image"][i], self.cam, outs["lm_uv"][i],
+            outs["lm_norm"][i], outs["lm_pts"][i], outs["lm_sel"][i],
+            corr_pose, time, win_pnp_mask=outs["lm_pnp"][i],
+            lidar_features=lidar_pack,
+            extrinsic=Pose(outs["ex_t"][i], outs["ex_q"][i]),
+            defer_note=True, pos=pos_np)
+        if res is None:
+            return
+        raw_cam = Pose(outs["cam_t"][i], outs["cam_q"][i])
+        self._add_node(corr_pose, raw_cam, res, time)
+
+    def _add_node(self, corr_pose: Pose, raw_cam: Pose, res, time: float
+                  ) -> None:
+        """Every processed keyframe becomes a pose-graph node; the detection
+        result is queued for asynchronous reaping."""
+        node_idx = self._n_nodes
+        self._n_nodes += 1
+        self.graph = graph_add_node(self.graph, corr_pose)
         self._node_frames.append(self.frame_idx)
         # store the UNcorrected camera pose: final_trajectory computes the
         # raw-world → optimized-world transform per segment from it
-        self._node_raw_cam.append(cam_pose)
-        if not bool(res.found):
-            return False
+        self._node_raw_cam.append(raw_cam)
+        self._pending.append(
+            {"res": res, "node_idx": node_idx, "node_pose": corr_pose,
+             "time": time})
 
-        self.n_loops += 1
-        rel = Pose(res.rel_t, res.rel_q)
-        self.graph = graph_add_loop(self.graph, int(res.old_seq), node_idx,
-                                    rel)
-        self.graph = self._opt_graph(self.graph)
-        # drift correction: move the current node to its optimized pose
-        opt = graph_poses(self.graph)
-        cur_opt = Pose(opt.t[node_idx], opt.q[node_idx])
-        cur_raw = self.correction.compose(cam_pose)
-        self.correction = cur_opt.compose(cur_raw.inverse()).compose(
-            self.correction)
-        return True
+    # ------------------------------------------------------------------
+    def _reap_loops(self) -> int:
+        """Collect finished loop detections (dispatched on earlier frames),
+        apply graph edges + drift corrections.  Returns #loops applied.
+
+        By the time this runs, the detection programs have executed behind
+        subsequent front dispatches — the host sync here is a reap, not a
+        stall (the overlap the reference buys with a separate loop-node
+        process)."""
+        applied = 0
+        for p in self._pending:
+            res = p["res"]
+            found, old_seq, rel_t, rel_q = jax.device_get(
+                (res.found, res.old_seq, res.rel_t, res.rel_q))
+            if not bool(found):
+                continue
+            self.n_loops += 1
+            applied += 1
+            self.loop.note_loop(p["time"],
+                                np.asarray(p["node_pose"].t))
+            rel = Pose(jnp.asarray(rel_t), jnp.asarray(rel_q))
+            self.graph = graph_add_loop(self.graph, int(old_seq),
+                                        p["node_idx"], rel)
+            self.graph = self._opt_graph(self.graph)
+            # drift correction: move the node to its optimized pose
+            opt = graph_poses(self.graph)
+            cur_opt = Pose(opt.t[p["node_idx"]], opt.q[p["node_idx"]])
+            self.correction = cur_opt.compose(
+                p["node_pose"].inverse()).compose(self.correction)
+        self._pending = []
+        return applied
 
     # ------------------------------------------------------------------
     def final_trajectory(self) -> Pose:
@@ -382,6 +437,7 @@ class SlamSystem:
         """
         from lmono_tpu.utils.lie import pose_stack
 
+        self._reap_loops()
         if self.graph is None or not self._node_frames:
             return pose_stack(self._raw_poses)
         opt = graph_poses(self.graph)
@@ -411,13 +467,16 @@ class SlamSystem:
         the capability the reference lacks entirely (SURVEY §5)."""
         from lmono_tpu.utils.checkpoint import save_state
 
+        self._reap_loops()
         state = {
             "lidar": self.lidar.state,
             "tracker": self.tracker.state,
             "estimator": self.estimator.state,
             "correction": self.correction,
+            "fkey": self._fkey,
             "frame_idx": jnp.asarray(self.frame_idx),
             "n_loops": jnp.asarray(self.n_loops),
+            "n_nodes": jnp.asarray(self._n_nodes),
         }
         if self.loop is not None:
             state["loop_db"] = self.loop.db
@@ -434,8 +493,10 @@ class SlamSystem:
             "tracker": self.tracker.state,
             "estimator": self.estimator.state,
             "correction": self.correction,
+            "fkey": self._fkey,
             "frame_idx": jnp.asarray(self.frame_idx),
             "n_loops": jnp.asarray(self.n_loops),
+            "n_nodes": jnp.asarray(self._n_nodes),
         }
         if self.loop is not None:
             template["loop_db"] = self.loop.db
@@ -447,8 +508,11 @@ class SlamSystem:
         self.tracker.state = state["tracker"]
         self.estimator.state = state["estimator"]
         self.correction = state["correction"]
+        self._fkey = state["fkey"]
         self.frame_idx = int(state["frame_idx"])
         self.n_loops = int(state["n_loops"])
+        self._n_nodes = int(state["n_nodes"])
+        self._pending = []
         if self.loop is not None:
             self.loop.db = state["loop_db"]
             self.graph = state["graph"]

@@ -9,27 +9,30 @@ import numpy as np
 import pytest
 
 
-@pytest.mark.skip(reason="knn_pallas Mosaic REMOTE-compile hangs >25 min on "
-                  "the axon toolchain (measured 2026-08-20; kernel logic is "
-                  "parity-tested in interpret mode, tests/test_pallas_knn.py; "
-                  "the engine's default KNN path is the XLA approx_min_k "
-                  "route, ops/knn.py).  Re-enable when the toolchain moves.")
-def test_pallas_knn_matches_xla():
-    from lmono_tpu.ops.knn import knn
+def test_pallas_knn_matches_exact():
+    """r4: the kernel was restructured (per-chunk top-k, no revisited
+    state, sentinel masking) after bisecting the r3 Mosaic hang to (a) the
+    running-best insert over revisited output blocks and (b) the
+    (C,)→(TQ,C) sublane→lane mask broadcast — both removed; compile is now
+    ~3 s.  Compared against a NUMPY exact reference: the XLA `knn` path on
+    TPU uses `approx_min_k` (recall target 0.95), so it is the wrong
+    oracle — the Pallas kernel is exact."""
     from lmono_tpu.ops.pallas.knn import knn_pallas
 
     Q, M, k = 512, 8192, 5
-    q = jax.random.normal(jax.random.PRNGKey(0), (Q, 3)) * 30
-    t = jax.random.normal(jax.random.PRNGKey(1), (M, 3)) * 30
-    mask = jax.random.bernoulli(jax.random.PRNGKey(2), 0.9, (M,))
+    rng = np.random.RandomState(0)
+    qn = (rng.randn(Q, 3) * 30).astype(np.float32)
+    tn = (rng.randn(M, 3) * 30).astype(np.float32)
+    mn = rng.rand(M) < 0.9
+    d2 = ((qn[:, None] - tn[None]) ** 2).sum(-1)
+    d2[:, ~mn] = np.inf
+    d_exact = np.sort(d2, axis=1)[:, :k]
 
-    d_ref, i_ref = jax.jit(lambda q, t, m: knn(q, t, m, k))(q, t, mask)
-    d_pal, i_pal = jax.jit(lambda q, t, m: knn_pallas(q, t, m, k))(q, t, mask)
+    d_pal, i_pal = jax.jit(lambda q, t, m: knn_pallas(q, t, m, k))(
+        jnp.asarray(qn), jnp.asarray(tn), jnp.asarray(mn))
     jax.block_until_ready((d_pal, i_pal))
-    # same neighbor sets: distances must agree (indices may differ on ties)
-    np.testing.assert_allclose(np.sort(np.asarray(d_pal), axis=1),
-                               np.sort(np.asarray(d_ref), axis=1),
-                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.sort(np.asarray(d_pal), axis=1), d_exact,
+                               rtol=1e-3, atol=1e-3)
 
 
 def test_pallas_lk_matches_vmapped():
