@@ -63,7 +63,7 @@ def main():
     n_kf = args.kf
     kf_per_lap = 32          # ≈ 2π·32 m / (0.8 m · stride 8)
     traj = syn.circuit_trajectory(8 * n_kf + 4)
-    kf_pos, fired = [], {}
+    kf_pos, fired, diag = [], {}, {}
     t0 = time.perf_counter()
     for k in range(n_kf):
         i = 8 * k
@@ -96,8 +96,13 @@ def main():
             img, cam, uv, cam.lift_to_normalized(uv), pts_w,
             ok & (dist < 1e8), pose_wc, time=float(i) * 0.1)
         kf_pos.append(np.asarray(pose_wc.t))
-        if res is not None and bool(res.found):
-            fired[k] = int(res.old_seq)
+        if res is not None:
+            diag[k] = {"score": float(res.score),
+                       "matches": int(res.n_matches),
+                       "inliers": int(res.n_inliers),
+                       "found": bool(res.found)}
+            if bool(res.found):
+                fired[k] = int(res.old_seq)
         if k % 20 == 0:
             print(f"kf {k}/{n_kf} fired={len(fired)}", flush=True)
     dt = time.perf_counter() - t0
@@ -110,9 +115,28 @@ def main():
     revisit = [k for k in range(n_kf)
                if k > gap and np.linalg.norm(
                    kf_pos[: k - gap] - kf_pos[k], axis=-1).min() < 8.0]
+    # attribute every missed revisit to the stage that killed it
+    miss = {"score_gate": 0, "brief_matches": 0, "pnp_inliers": 0,
+            "geom_gate": 0, "skip_gated": 0}
+    for k in revisit:
+        if k in fired:
+            continue
+        d = diag.get(k)
+        if d is None:
+            miss["skip_gated"] += 1
+        elif d["score"] < lcfg.score_best_min:
+            miss["score_gate"] += 1
+        elif d["matches"] < lcfg.min_brief_matches:
+            miss["brief_matches"] += 1
+        elif d["inliers"] < lcfg.min_pnp_inliers:
+            miss["pnp_inliers"] += 1
+        else:
+            miss["geom_gate"] += 1
+
     out = {
         "keyframes": n_kf,
         "perturbed": bool(args.perturb),
+        "miss_stages": miss,
         "vocab_dim": int(det.codebook.shape[1]),
         "underlying_frames": 8 * n_kf + 4,
         "detections": len(fired),

@@ -166,9 +166,19 @@ def worker_engine(idx: int, port: int, n_proc: int = 2,
         return jax.make_array_from_callback(
             np.shape(x_np), sh, lambda i: np.asarray(x_np)[i])
 
+    def to_global_tree(value, spec_prefix):
+        """Expand a PartitionSpec PREFIX tree over `value` (a P() covering
+        a whole subtree replicates every leaf under it) and build global
+        arrays leaf-by-leaf."""
+        flat, sdef = jax.tree.flatten(spec_prefix,
+                                      is_leaf=lambda x: isinstance(x, P))
+        subs = sdef.flatten_up_to(value)
+        mapped = [jax.tree.map(lambda x, sp=sp: to_global(x, sp), sub)
+                  for sp, sub in zip(flat, subs)]
+        return jax.tree.unflatten(sdef, mapped)
+
     state0 = jax.tree.map(np.asarray, FusedState.init(cfg, T_CL))
-    state = jax.tree.map(to_global, state0, specs,
-                         is_leaf=lambda x: isinstance(x, P))
+    state = to_global_tree(state0, specs)
 
     @partial(jax.shard_map, mesh=mesh, check_vma=False,
              in_specs=(specs, P()), out_specs=(specs, P()))
@@ -176,7 +186,6 @@ def worker_engine(idx: int, port: int, n_proc: int = 2,
         return dist_fused_step(s, fr, cam, cfg)
 
     step = jax.jit(step)
-    rep = jax.tree.map(lambda x: P(), frames[0])
 
     # analytic per-frame cross-process (DCN) collective volume: the kf axis
     # spans the processes, so each window-solve LM attempt psums the
@@ -193,8 +202,7 @@ def worker_engine(idx: int, port: int, n_proc: int = 2,
     fp = FusedPipeline(cfg, cam, T_CL)      # local single-device reference
     gap = 0.0
     for i, fr in enumerate(frames):
-        fr_g = jax.tree.map(to_global, fr, rep,
-                            is_leaf=lambda x: isinstance(x, P))
+        fr_g = jax.tree.map(lambda x: to_global(x, P()), fr)
         state, out = step(state, fr_g)
         o1 = fp.process(fr)
         t_dist = np.asarray(jax.device_get(out["pose_t"].addressable_data(0)))

@@ -56,48 +56,56 @@ def detect_and_verify(db: KeyframeDB, codebook: jax.Array, cfg: LoopConfig,
         win_pnp_mask = win_mask
     top_s, top_i, top_ok = db_query(db, codebook, desc, kp_mask, cur_seq,
                                     cur_time, cfg, top_k=4)
-    # reference gating: best must clear 0.05; accept candidates > 0.015,
-    # earliest (smallest seq) among them (LoopDetector.cc:220-257)
+    # reference gating: best must clear 0.05; accept candidates > 0.015
+    # (LoopDetector.cc:220-257).  BEYOND the reference (which verifies only
+    # the earliest gated candidate): verify ALL gated candidates in one
+    # vmapped batch and keep the earliest that PASSES — verification is
+    # the precision gate, so trying more candidates raises recall without
+    # admitting false loops, and the batched PnP/matching is near-free on
+    # the MXU.
     gate = top_ok & (top_s > cfg.score_accept) & (top_s[0] > cfg.score_best_min)
-    seqs = jnp.where(gate, db.seq[top_i], jnp.iinfo(jnp.int32).max)
+    keys = jax.random.split(key, top_i.shape[0])
+
+    def verify(old_slot, k_i):
+        # BRIEF matching: current window landmarks ↔ old keyframe keypoints
+        idx_b, m_ok = match_descriptors(
+            win_desc, win_mask, db.desc[old_slot], db.kp_mask[old_slot],
+            max_hamming=cfg.hamming_max)
+        n_matches = jnp.sum(m_ok)
+        # PnP: current 3D world points vs old keyframe's 2D normalized obs
+        obs_old = db.kp_norm[old_slot][idx_b]            # (Kw, 2)
+        # free hypothesis: at a true revisit the drift is small, so the OLD
+        # keyframe's own camera-from-world is nearly the PnP answer already
+        prior = Pose(db.t[old_slot], db.q[old_slot]).inverse()
+        pose_pnp, inl, pnp_ok = ransac_pnp(
+            win_pts, obs_old, m_ok & win_pnp_mask, k_i,
+            iters=cfg.pnp_ransac_iters,
+            thresh=(cfg.pnp_reproj_px / 460.0) ** 2,
+            min_inliers=cfg.min_pnp_inliers,
+            prior_pose=prior)
+        n_inl = jnp.sum(inl)
+        # pose_pnp: oldcam-from-world ⇒ T_old_cur = pose_pnp ∘ T_w_cur
+        rel_k = Pose(pose_pnp.apply(cur_pose.t),
+                     Pose(pose_pnp.t, pose_pnp.q).compose(cur_pose).q)
+        # geometric gate on the revisit distance: |Δyaw| < ANGLE_THRESHOLD,
+        # |Δt| < TRANS_THRESHOLD (KeyFrame.cc:588)
+        ypr = mat_to_ypr(quat_to_mat(rel_k.q))
+        ang_ok = jnp.abs(jnp.rad2deg(ypr[0])) < cfg.angle_threshold_deg
+        trans_ok = jnp.linalg.norm(rel_k.t) < cfg.trans_threshold
+        ok_k = ((n_matches >= cfg.min_brief_matches) & pnp_ok
+                & ang_ok & trans_ok)
+        return ok_k, rel_k, n_matches, n_inl
+
+    ok_k, rels, nm_k, ni_k = jax.vmap(verify)(top_i, keys)
+    ok_k = ok_k & gate
+    # earliest verified candidate (smallest global seq), reference-style
+    seqs = jnp.where(ok_k, db.seq[top_i], jnp.iinfo(jnp.int32).max)
     pick = jnp.argmin(seqs)
     old_slot = top_i[pick]
-    any_cand = jnp.any(gate)
-
-    # ---- BRIEF matching: current window landmarks ↔ old keyframe keypoints
-    idx_b, m_ok = match_descriptors(
-        win_desc, win_mask, db.desc[old_slot], db.kp_mask[old_slot],
-        max_hamming=cfg.hamming_max)
-    n_matches = jnp.sum(m_ok)
-
-    # ---- PnP: current 3D world points vs old keyframe's 2D normalized obs
-    obs_old = db.kp_norm[old_slot][idx_b]                # (Kw, 2)
-    # free hypothesis: at a true revisit the drift is small, so the OLD
-    # keyframe's own camera-from-world is nearly the PnP answer already
-    prior = Pose(db.t[old_slot], db.q[old_slot]).inverse()
-    pose_pnp, inl, pnp_ok = ransac_pnp(
-        win_pts, obs_old, m_ok & win_pnp_mask, key,
-        iters=cfg.pnp_ransac_iters,
-        thresh=(cfg.pnp_reproj_px / 460.0) ** 2,
-        min_inliers=cfg.min_pnp_inliers,
-        prior_pose=prior)
-    n_inliers = jnp.sum(inl)
-
-    # pose_pnp: oldcam-from-world ⇒ the *drift-corrected* current-cam pose
-    # in the old map is T_w_cur' = T_w_old ∘ T_old_cur, with
-    # T_old_cur = pose_pnp ∘ T_w_cur (cur expressed through old geometry).
-    T_old_cur_t = pose_pnp.apply(cur_pose.t)
-    T_old_cur_q = Pose(pose_pnp.t, pose_pnp.q).compose(cur_pose).q
-    rel = Pose(T_old_cur_t, T_old_cur_q)
-
-    # geometric gate on the revisit distance: |Δyaw| < ANGLE_THRESHOLD,
-    # |Δt| < TRANS_THRESHOLD (KeyFrame.cc:588)
-    ypr = mat_to_ypr(quat_to_mat(rel.q))
-    ang_ok = jnp.abs(jnp.rad2deg(ypr[0])) < cfg.angle_threshold_deg
-    trans_ok = jnp.linalg.norm(rel.t) < cfg.trans_threshold
-
-    found = (any_cand & (n_matches >= cfg.min_brief_matches) & pnp_ok
-             & ang_ok & trans_ok)
+    rel = Pose(rels.t[pick], rels.q[pick])
+    n_matches = nm_k[pick]
+    n_inliers = ni_k[pick]
+    found = jnp.any(ok_k)
 
     # ---- LiDAR refinement of the loop relative pose: register the two
     # keyframes' edge/planar feature sets (point-to-line/plane GN) starting

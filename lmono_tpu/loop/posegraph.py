@@ -56,6 +56,9 @@ class PoseGraph(NamedTuple):
     loop_dyaw: jax.Array  # (L,)
     loop_dq: jax.Array    # (L, 4) full relative rotation (6-DoF edges)
     loop_mask: jax.Array  # (L,)
+    loop_w: jax.Array     # (L,) per-edge weight (0 where unset; LiDAR-GN
+                          # refined closures are cm-grade and weigh more
+                          # than PnP-only ones)
     n_nodes: jax.Array    # ()
     n_loops: jax.Array    # ()
 
@@ -77,6 +80,7 @@ class PoseGraph(NamedTuple):
             loop_dq=jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32),
                              (max_loops, 1)),
             loop_mask=jnp.zeros((max_loops,), bool),
+            loop_w=jnp.zeros((max_loops,), jnp.float32),
             n_nodes=jnp.zeros((), jnp.int32),
             n_loops=jnp.zeros((), jnp.int32),
         )
@@ -111,8 +115,14 @@ def graph_add_node(g: PoseGraph, pose: Pose) -> PoseGraph:
     )
 
 
-def graph_add_loop(g: PoseGraph, i, j, rel: Pose) -> PoseGraph:
+def graph_add_loop(g: PoseGraph, i, j, rel: Pose,
+                   weight: float = 5.0) -> PoseGraph:
     """Add loop edge: rel = T_ci_cj (newer j seen from older i).
+
+    weight: edge weight relative to sequential odometry edges — use high
+    values only for closures whose relative pose is refined beyond
+    PnP grade (e.g. LiDAR GN), else the edge noise pollutes a low-drift
+    chain.
 
     The yaw measurement must match the node parameterization: predict node
     j's world pose through node i (T_w_j' = T_w_i ∘ rel) and take the
@@ -131,11 +141,40 @@ def graph_add_loop(g: PoseGraph, i, j, rel: Pose) -> PoseGraph:
         loop_dyaw=g.loop_dyaw.at[k].set(dyaw),
         loop_dq=g.loop_dq.at[k].set(rel.q),
         loop_mask=g.loop_mask.at[k].set(True),
+        loop_w=g.loop_w.at[k].set(jnp.asarray(weight, jnp.float32)),
         n_loops=g.n_loops + 1,
     )
 
 
-def _residuals(x: jax.Array, g: PoseGraph, loop_weight: float = 5.0):
+
+# robust loop-edge kernel: Geman-McClure IRLS weight from the edge's
+# current combined error (meters + yaw-equivalent), lagged via
+# stop_gradient so the matrix-free GN linearizes with frozen weights at
+# each iterate.  One gross loop edge (a verification false-accept at the
+# meter level) is then effectively switched off (w ~ (c/e)² for e ≫ c)
+# instead of dragging the whole chain — measured: a single 2.4 m edge
+# among 7 cm-grade ones cost 0.4 m node ATE under the softer Cauchy
+# kernel.  This is the switchable-constraints idea (Sünderhauf) in IRLS
+# form.
+ROBUST_C = 0.3
+# graduated non-convexity: anneal the kernel scale from wide (effectively
+# non-robust, so LEGITIMATE meter-scale corrections are pulled in) down to
+# ROBUST_C over the first GNC_STEPS GN iterations — without this the GM
+# kernel resists any correction larger than c from iteration 0
+GNC_STEPS = 6
+
+
+def _robust_w(e_t, e_r, c=ROBUST_C):
+    e = jax.lax.stop_gradient(e_t + 3.0 * e_r)
+    return 1.0 / (1.0 + (e / c) ** 2)
+
+
+def _gnc_c(it):
+    """Kernel scale at GN iteration `it` (traced or static)."""
+    return ROBUST_C * 2.0 ** jnp.clip(
+        jnp.float32(GNC_STEPS) - jnp.asarray(it, jnp.float32), 0.0, 10.0)
+
+def _residuals(x: jax.Array, g: PoseGraph, robust_c=ROBUST_C):
     """x: (N, 4) = (t, yaw) for all nodes.  Returns stacked residuals."""
     N = g.t.shape[0]
     t = x[:, :3]
@@ -154,9 +193,13 @@ def _residuals(x: jax.Array, g: PoseGraph, loop_weight: float = 5.0):
     li, lj = g.loop_i, g.loop_j
     dt_est_l = jnp.einsum("lij,lj->li", R[li].transpose(0, 2, 1),
                           t[lj] - t[li])
-    r_loop_t = (dt_est_l - g.loop_dt) * (loop_weight * g.loop_mask[:, None])
-    r_loop_y = _wrap(yaw[lj] - yaw[li] - g.loop_dyaw) \
-        * (loop_weight * g.loop_mask)
+    raw_t = dt_est_l - g.loop_dt
+    raw_y = _wrap(yaw[lj] - yaw[li] - g.loop_dyaw)
+    w = g.loop_w * g.loop_mask \
+        * _robust_w(jnp.linalg.norm(raw_t, axis=-1), jnp.abs(raw_y),
+                    robust_c)
+    r_loop_t = raw_t * w[:, None]
+    r_loop_y = raw_y * w
 
     # gauge: pin node 0 at its stored (pre-optimization) pose
     anchor = jnp.concatenate([g.t[0], g.ypr[0, :1]])
@@ -170,7 +213,7 @@ def _wrap(a):
 
 
 def _residuals6(x: jax.Array, g: PoseGraph, q0: jax.Array,
-                loop_weight: float = 5.0):
+                robust_c=ROBUST_C):
     """Full SE(3) edge residuals.  x: (N, 6) = (t_abs, δθ) per node, with
     rotation locally parameterized as R = R0·exp(δθ) around the stored node
     rotation q0 (the boxplus the window solver uses too)."""
@@ -187,10 +230,14 @@ def _residuals6(x: jax.Array, g: PoseGraph, q0: jax.Array,
 
     li, lj = g.loop_i, g.loop_j
     dt_est_l = quat_rotate_inv(q[li], t[lj] - t[li])
-    r_loop_t = (dt_est_l - g.loop_dt) * (loop_weight * g.loop_mask[:, None])
+    raw_t = dt_est_l - g.loop_dt
     dq_est_l = quat_mul(quat_conj(q[li]), q[lj])
-    r_loop_r = so3_log_quat(quat_mul(quat_conj(g.loop_dq), dq_est_l)) \
-        * (loop_weight * g.loop_mask[:, None])
+    raw_r = so3_log_quat(quat_mul(quat_conj(g.loop_dq), dq_est_l))
+    w = g.loop_w * g.loop_mask \
+        * _robust_w(jnp.linalg.norm(raw_t, axis=-1),
+                    jnp.linalg.norm(raw_r, axis=-1), robust_c)
+    r_loop_t = raw_t * w[:, None]
+    r_loop_r = raw_r * w[:, None]
 
     # gauge: pin node 0 at its stored pose (position and rotation tangent)
     r_fix = 100.0 * jnp.concatenate([x[0, :3] - g.t[0], x[0, 3:]])
@@ -214,8 +261,8 @@ def optimize_posegraph(g: PoseGraph, iters: int = 10,
     N = g.t.shape[0]
     x0 = jnp.concatenate([g.t, g.ypr[:, :1]], axis=-1)    # (N,4)
 
-    def gn_step(x, _):
-        f = lambda xx: _residuals(xx, g)
+    def gn_step(x, it):
+        f = lambda xx: _residuals(xx, g, _gnc_c(it))
         r = f(x)
         _, vjp = jax.vjp(f, x)
         grad = vjp(r)[0]
@@ -229,7 +276,7 @@ def optimize_posegraph(g: PoseGraph, iters: int = 10,
         mask = g.node_mask[:, None]
         return x + jnp.where(mask, dx, 0.0), jnp.sum(r * r)
 
-    x, costs = jax.lax.scan(gn_step, x0, None, length=iters)
+    x, costs = jax.lax.scan(gn_step, x0, jnp.arange(iters))
     new_ypr = jnp.stack([x[:, 3], g.ypr[:, 1], g.ypr[:, 2]], -1)
     return g._replace(t=x[:, :3], ypr=new_ypr)
 
@@ -245,9 +292,9 @@ def _optimize_posegraph6(g: PoseGraph, iters: int, cg_iters: int
     q0_init = mat_to_quat(ypr_to_mat(g.ypr))              # (N,4)
     x0 = jnp.concatenate([g.t, jnp.zeros((N, 3), g.t.dtype)], axis=-1)
 
-    def gn_step(carry, _):
+    def gn_step(carry, it):
         x, q0 = carry
-        f = lambda xx: _residuals6(xx, g, q0)
+        f = lambda xx: _residuals6(xx, g, q0, _gnc_c(it))
         r = f(x)
         _, vjp = jax.vjp(f, x)
         grad = vjp(r)[0]
@@ -265,7 +312,7 @@ def _optimize_posegraph6(g: PoseGraph, iters: int, cg_iters: int
         x = x.at[:, 3:].set(0.0)
         return (x, q0), jnp.sum(r * r)
 
-    (x, q0), _ = jax.lax.scan(gn_step, (x0, q0_init), None, length=iters)
+    (x, q0), _ = jax.lax.scan(gn_step, (x0, q0_init), jnp.arange(iters))
     return g._replace(t=x[:, :3], ypr=mat_to_ypr(quat_to_mat(q0)))
 
 

@@ -51,20 +51,24 @@ def knn(query: jax.Array, target: jax.Array, target_mask: jax.Array,
         t2 = jnp.sum(target * target, axis=-1)          # always f32
 
         def slab(q):
-            qs = q.astype(tsel.dtype)
-            q2 = jnp.sum(q * q, axis=-1, keepdims=True)
-            # only the cross term runs in select_dtype; accumulation and the
-            # squared-norm terms stay f32.  precision=HIGHEST: the TPU MXU
-            # multiplies f32 inputs at bf16 precision by default, which at
-            # world-frame magnitudes (|p| ~ 100 m ⇒ q·t ~ 1e4) injects
-            # O(10 m²) errors into d2 — catastrophic for 1.5 m gates.  The
-            # inner dim is 3, so the matmul is output-bound and the 6-pass
-            # f32 mode costs ~nothing.
-            d2 = (q2 - 2.0 * jnp.dot(
-                qs, tsel.T, preferred_element_type=jnp.float32,
-                precision=(None if select_dtype is not None
-                           else jax.lax.Precision.HIGHEST))
-                  + t2[None, :])
+            if select_dtype is None:
+                # exact f32 distances via the fused broadcast-diff form.
+                # The matmul expansion q²-2q·t+t² runs the MXU at bf16
+                # precision by default, which at world-frame magnitudes
+                # (|p| ~ 100 m ⇒ q·t ~ 1e4) injects O(10-70 m²) errors
+                # into d2 — catastrophic for 1.5 m gates; measured on-chip
+                # at Q=1536/M=16k: default-matmul 1.28 ms err 70 m²,
+                # HIGHEST-matmul 2.43 ms, broadcast-diff 1.63 ms exact —
+                # the K=3 matmul wastes the MXU anyway, the VPU form wins.
+                d2 = jnp.sum((q[:, None, :] - target[None, :, :]) ** 2, -1)
+            else:
+                qs = q.astype(tsel.dtype)
+                q2 = jnp.sum(q * q, axis=-1, keepdims=True)
+                # only the cross term runs in select_dtype; accumulation
+                # and the squared-norm terms stay f32
+                d2 = (q2 - 2.0 * jnp.dot(
+                    qs, tsel.T, preferred_element_type=jnp.float32)
+                      + t2[None, :])
             d2 = jnp.where(target_mask[None, :], d2, _INF)
             vals, idx = jax.lax.approx_min_k(d2, k)
             if select_dtype is not None:

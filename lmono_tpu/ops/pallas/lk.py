@@ -22,7 +22,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _lk_kernel(pt0_ref, guess_ref, img0_ref, ix0_ref, iy0_ref, img1_ref,
                out_ref, ok_ref, *, patch: int, iters: int, H: int, W: int,
-               H_pad: int):
+               H_pad: int, W_pad: int):
     P = patch
     S = P + 1  # slab with +1 for bilinear
 
@@ -56,9 +56,12 @@ def _lk_kernel(pt0_ref, guess_ref, img0_ref, ix0_ref, iy0_ref, img1_ref,
         byi_al = jnp.clip((byi // 8) * 8, 0, H_pad - SR)
         byi_al = pl.multiple_of(byi_al, 8)
         off = byi - byi_al                           # 0..(SR-S)
-        slab = ref[pl.ds(byi_al, SR), :]             # (SR, W)
+        slab = ref[pl.ds(byi_al, SR), :]             # (SR, W_pad)
         slab = pltpu.roll(slab, SR - off, 0)         # row phase → row 0
-        slab = pltpu.roll(slab, W - bxi, 1)[0:S, 0:S]
+        # rotate over the lane-ALIGNED padded width (Mosaic's
+        # dynamic_rotate requires it); bxi + S <= W <= W_pad, so the
+        # static [0:S] slice sees only real columns
+        slab = pltpu.roll(slab, W_pad - bxi, 1)[0:S, 0:S]
         tl = slab[0:P, 0:P]
         tr = slab[0:P, 1:S]
         bl = slab[1:S, 0:P]
@@ -112,23 +115,26 @@ def lk_level_pallas(img0, ix0, iy0, img1, pts0, guess,
     """
     H, W = img0.shape
     N = pts0.shape[0]
-    # pad rows to a multiple of 8 so the kernel's aligned-slab loads are
-    # always in-bounds (the kernel clamps feature rows to the true image)
+    # pad rows to a multiple of 8 (aligned slab loads) and columns to a
+    # multiple of 128 (the lane rotate requires an aligned width — KITTI
+    # pyramid levels like 155 = 1241/8 are otherwise rejected by Mosaic);
+    # the kernel clamps feature coords to the TRUE image dims
     H8 = ((H + 7) // 8) * 8
+    W128 = ((W + 127) // 128) * 128
     SR = ((patch + 8) // 8) * 8 + 8
     if H8 < SR or W < patch + 1:
         raise ValueError(
             f"image {H}x{W} too small for patch {patch} (need >= {SR} rows); "
             "use fewer pyramid levels or the vmapped LK path")
-    if H8 != H:
-        pad = ((0, H8 - H), (0, 0))
+    if H8 != H or W128 != W:
+        pad = ((0, H8 - H), (0, W128 - W))
         img0 = jnp.pad(img0, pad)
         ix0 = jnp.pad(ix0, pad)
         iy0 = jnp.pad(iy0, pad)
         img1 = jnp.pad(img1, pad)
     kernel = functools.partial(_lk_kernel, patch=patch, iters=iters,
-                               H=H, W=W, H_pad=H8)
-    img_spec = pl.BlockSpec((H8, W), lambda i: (0, 0),
+                               H=H, W=W, H_pad=H8, W_pad=W128)
+    img_spec = pl.BlockSpec((H8, W128), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     smem_pts = pl.BlockSpec((N, 2), lambda i: (0, 0),
                             memory_space=pltpu.SMEM)

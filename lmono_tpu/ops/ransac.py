@@ -81,9 +81,19 @@ def ransac_fundamental(x0: jax.Array, x1: jax.Array, mask: jax.Array,
 
 def _dlt_pnp(X: jax.Array, x: jax.Array) -> tuple[jax.Array, jax.Array]:
     """DLT pose from 6 3D-2D correspondences.  X (6,3), x (6,2) normalized.
-    Returns (R (3,3), t (3,)) with x ~ project(R X + t)."""
+    Returns (R (3,3), t (3,)) with x ~ project(R X + t).
+
+    Hartley-normalized: the raw 12×12 DLT mixes world coordinates of
+    magnitude ~30 m with unit-scale image coordinates, and its smallest
+    singular vector is garbage under even 1-px noise (measured: 0.5-6 m
+    pose error from PERFECT minimal samples).  Centering X and scaling to
+    ~unit spread conditions A; the pose is recovered in normalized world
+    coordinates and unscaled exactly."""
+    ctr = jnp.mean(X, axis=0)
+    scale = jnp.sqrt(jnp.mean(jnp.sum((X - ctr) ** 2, -1))) + 1e-9
+    Xn = (X - ctr) / scale
     zeros = jnp.zeros((6, 4))
-    Xh = jnp.concatenate([X, jnp.ones((6, 1))], axis=-1)   # (6,4)
+    Xh = jnp.concatenate([Xn, jnp.ones((6, 1))], axis=-1)  # (6,4)
     r1 = jnp.concatenate([Xh, zeros, -x[:, 0:1] * Xh], axis=-1)
     r2 = jnp.concatenate([zeros, Xh, -x[:, 1:2] * Xh], axis=-1)
     A = jnp.concatenate([r1, r2], axis=0)                  # (12,12)
@@ -95,9 +105,12 @@ def _dlt_pnp(X: jax.Array, x: jax.Array) -> tuple[jax.Array, jax.Array]:
     det = jnp.linalg.det(U @ Vt2)
     D = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(det)
     R = U @ D @ Vt2
-    scale = jnp.sum(S * jnp.diagonal(D)) / 3.0
+    pscale = jnp.sum(S * jnp.diagonal(D)) / 3.0
+    # t in normalized world coords, then undo the Hartley normalization:
+    # project(R·(X-ctr)/s + tn) = project(R·X + (s·tn - R·ctr))
+    t_n = P[:, 3] / jnp.where(jnp.abs(pscale) < 1e-12, 1e-12, pscale)
+    t = scale * t_n - R @ ctr
     # resolve sign so points land in front of the camera
-    t = P[:, 3] / jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)
     z = (X @ R.T + t)[:, 2]
     flip = jnp.sum(z > 0) < 3
     R = jnp.where(flip, -R, R)
@@ -155,24 +168,55 @@ def ransac_pnp(X: jax.Array, x: jax.Array, mask: jax.Array, key: jax.Array,
     mixed-quality 3D).
     Returns (camera-from-world Pose, inlier_mask, ok flag).
     """
+    from lmono_tpu.utils.lie import quat_to_mat
+
     logits = jnp.where(mask, 0.0, -1e9)
     samp = jax.random.categorical(key, logits[None, :], shape=(iters, 6))
 
     def hyp(idx):
+        """Minimal 6-point hypothesis: Hartley-normalized DLT, then GN on
+        the sample itself.  The raw 6-point DLT is noise-fragile (measured
+        0.5-6 m pose error from perfect minimal samples); GN from the DLT
+        init converges to the exact pose for clean samples, so RANSAC
+        scoring sees at least one sharp hypothesis whenever a clean sample
+        is drawn — without this, only the prior hypothesis ever verified,
+        which is exactly what broke under viewpoint perturbation."""
         R, t = _dlt_pnp(X[idx], x[idx])
-        return R, t
+        w = jnp.zeros((X.shape[0],), X.dtype).at[idx].set(1.0)
+        pose = _pnp_gn_refine(R, t, X, x, w, iters=8)
+        return quat_to_mat(pose.q), pose.t
+
+    def lo_refine(R, t, widen):
+        """LO-RANSAC inner loop: re-estimate inliers at a shrinking
+        threshold and GN-refine on them — pulls a basin-adjacent
+        hypothesis (e.g. a revisit prior that is meters off under
+        viewpoint change) onto the true pose instead of rejecting it."""
+        pose = Pose.from_Rt(R, t)
+        for f in widen:
+            Pc = pose.apply(X)
+            z = jnp.maximum(Pc[..., 2], 1e-6)
+            e2 = jnp.sum((Pc[..., :2] / z[..., None] - x) ** 2, axis=-1)
+            w = ((e2 < f * thresh) & mask & (Pc[..., 2] > 1e-6)).astype(
+                X.dtype)
+            pose = _pnp_gn_refine(quat_to_mat(pose.q), pose.t, X, x, w)
+        return pose
 
     Rs, ts = jax.vmap(hyp)(samp)
     if prior_pose is not None:
-        from lmono_tpu.utils.lie import quat_to_mat
-        Rs = jnp.concatenate([Rs, quat_to_mat(prior_pose.q)[None]], axis=0)
-        ts = jnp.concatenate([ts, prior_pose.t[None]], axis=0)
+        # pre-refine the prior at a wide gate before it competes: at a true
+        # revisit the prior is right up to accumulated drift + viewpoint
+        # offset, which puts its raw reprojections outside `thresh` but
+        # well inside the widened basin
+        pri = lo_refine(quat_to_mat(prior_pose.q), prior_pose.t,
+                        (16.0, 4.0))
+        Rs = jnp.concatenate([Rs, quat_to_mat(prior_pose.q)[None],
+                              quat_to_mat(pri.q)[None]], axis=0)
+        ts = jnp.concatenate([ts, prior_pose.t[None], pri.t[None]], axis=0)
     e2 = jax.vmap(lambda R, t: _reproj_err2(R, t, X, x))(Rs, ts)  # (it,N)
     inl = (e2 < thresh) & mask[None, :]
     scores = jnp.sum(inl, axis=-1)
     best = jnp.argmax(scores)
-    w = inl[best].astype(X.dtype)
-    pose = _pnp_gn_refine(Rs[best], ts[best], X, x, w)
+    pose = lo_refine(Rs[best], ts[best], (4.0, 2.0, 1.0))
     # recount inliers after refinement
     Pc = pose.apply(X)
     z = jnp.maximum(Pc[..., 2], 1e-6)

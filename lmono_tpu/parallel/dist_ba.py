@@ -107,7 +107,8 @@ def graph_shardings(mesh: Mesh, axis: str = "kf") -> PoseGraph:
         t=shard, ypr=shard, node_mask=shard,
         seq_dt=shard, seq_dyaw=shard, seq_dq=shard, seq_mask=shard,
         loop_i=repl, loop_j=repl, loop_dt=repl, loop_dyaw=repl,
-        loop_dq=repl, loop_mask=repl, n_nodes=repl, n_loops=repl,
+        loop_dq=repl, loop_mask=repl, loop_w=repl, n_nodes=repl,
+        n_loops=repl,
     )
 
 

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from lmono_tpu.loop.posegraph import PoseGraph, _wrap
+from lmono_tpu.loop.posegraph import PoseGraph, _gnc_c, _robust_w, _wrap
 from lmono_tpu.utils.lie import (
     mat_to_quat,
     mat_to_ypr,
@@ -51,7 +51,8 @@ from lmono_tpu.utils.lie import (
     ypr_to_mat,
 )
 
-LOOP_WEIGHT = 5.0  # matches posegraph._residuals default
+# loop-edge weights are per-edge (PoseGraph.loop_w); LiDAR-refined
+# closures weigh ~5x sequential edges, PnP-only ones ~1.5x
 
 
 def _gather_rows(vals_loc: jax.Array, rows: jax.Array, axis: str,
@@ -86,8 +87,8 @@ def _pack_remote(vals_loc: jax.Array, loop_i, loop_j, axis: str, nd: int):
 
 
 def _local_resid4(x_loc, anchor, seq_dt, seq_dyaw, seq_mask, ypr_pr,
-                  loop_i, loop_j, loop_dt, loop_dyaw, loop_mask,
-                  axis: str, nd: int):
+                  loop_i, loop_j, loop_dt, loop_dyaw, loop_w,
+                  axis: str, nd: int, robust_c=None):
     """Per-device 4-DoF residuals; union over devices == `_residuals`."""
     Nl = x_loc.shape[0]
     my = jax.lax.axis_index(axis)
@@ -107,13 +108,17 @@ def _local_resid4(x_loc, anchor, seq_dt, seq_dyaw, seq_mask, ypr_pr,
 
     # loop edges from the psum'd endpoint rows, owner-masked
     own = ((loop_i // Nl) == my)
-    w = LOOP_WEIGHT * loop_mask * own
     ypr_li = jnp.stack([ei[:, 3], ei[:, 4], ei[:, 5]], -1)
     R_li = ypr_to_mat(ypr_li)
     dt_est_l = jnp.einsum("lij,lj->li", R_li.transpose(0, 2, 1),
                           ej[:, :3] - ei[:, :3])
-    r_loop_t = (dt_est_l - loop_dt) * w[:, None]
-    r_loop_y = _wrap(ej[:, 3] - ei[:, 3] - loop_dyaw) * w
+    raw_t = dt_est_l - loop_dt
+    raw_y = _wrap(ej[:, 3] - ei[:, 3] - loop_dyaw)
+    w = loop_w * own * _robust_w(jnp.linalg.norm(raw_t, axis=-1),
+                                 jnp.abs(raw_y),
+                                 0.3 if robust_c is None else robust_c)
+    r_loop_t = raw_t * w[:, None]
+    r_loop_y = raw_y * w
 
     # gauge on node 0, contributed by its owner only
     r_fix = 100.0 * (e0[:4] - anchor) * (my == 0)
@@ -122,8 +127,8 @@ def _local_resid4(x_loc, anchor, seq_dt, seq_dyaw, seq_mask, ypr_pr,
 
 
 def _local_resid6(x_loc, q0_loc, anchor_t, seq_dt, seq_dq, seq_mask,
-                  loop_i, loop_j, loop_dt, loop_dq, loop_mask,
-                  axis: str, nd: int):
+                  loop_i, loop_j, loop_dt, loop_dq, loop_w,
+                  axis: str, nd: int, robust_c=None):
     """Per-device 6-DoF residuals; union over devices == `_residuals6`."""
     Nl = x_loc.shape[0]
     my = jax.lax.axis_index(axis)
@@ -142,13 +147,16 @@ def _local_resid6(x_loc, q0_loc, anchor_t, seq_dt, seq_dq, seq_mask,
         * seq_mask[:, None]
 
     own = ((loop_i // Nl) == my)
-    w = LOOP_WEIGHT * loop_mask * own
     q_li, q_lj = ei[:, 6:10], ej[:, 6:10]
     dt_est_l = quat_rotate_inv(q_li, ej[:, :3] - ei[:, :3])
-    r_loop_t = (dt_est_l - loop_dt) * w[:, None]
+    raw_t = dt_est_l - loop_dt
     dq_est_l = quat_mul(quat_conj(q_li), q_lj)
-    r_loop_r = so3_log_quat(quat_mul(quat_conj(loop_dq), dq_est_l)) \
-        * w[:, None]
+    raw_r = so3_log_quat(quat_mul(quat_conj(loop_dq), dq_est_l))
+    w = loop_w * own * _robust_w(jnp.linalg.norm(raw_t, axis=-1),
+                                 jnp.linalg.norm(raw_r, axis=-1),
+                                 0.3 if robust_c is None else robust_c)
+    r_loop_t = raw_t * w[:, None]
+    r_loop_r = raw_r * w[:, None]
 
     r_fix = 100.0 * jnp.concatenate(
         [e0[:3] - anchor_t, e0[3:6]]) * (my == 0)
@@ -237,13 +245,16 @@ def make_sharded_posegraph_opt(mesh: Mesh, iters: int = 10,
         @partial(jax.shard_map, mesh=mesh, check_vma=False,
                  in_specs=in_specs, out_specs=(node_spec,))
         def run(x0, anchor, seq_dt, seq_dyaw, seq_mask, ypr_pr, node_mask,
-                loop_i, loop_j, loop_dt, loop_dyaw, loop_mask):
-            f = lambda xx: _local_resid4(
-                xx, anchor, seq_dt, seq_dyaw, seq_mask, ypr_pr,
-                loop_i, loop_j, loop_dt, loop_dyaw, loop_mask, axis, nd)
-            gn = _gn_step_factory(f, node_mask, cg_iters, axis)
-            x, _ = jax.lax.scan(lambda x, _: (gn(x), None), x0, None,
-                                length=iters)
+                loop_i, loop_j, loop_dt, loop_dyaw, loop_w):
+            def gn_it(x, it):
+                f = lambda xx: _local_resid4(
+                    xx, anchor, seq_dt, seq_dyaw, seq_mask, ypr_pr,
+                    loop_i, loop_j, loop_dt, loop_dyaw, loop_w, axis, nd,
+                    robust_c=_gnc_c(it))
+                gn = _gn_step_factory(f, node_mask, cg_iters, axis)
+                return gn(x), None
+
+            x, _ = jax.lax.scan(gn_it, x0, jnp.arange(iters))
             return (x,)
 
         def optimize(g: PoseGraph) -> PoseGraph:
@@ -252,7 +263,7 @@ def make_sharded_posegraph_opt(mesh: Mesh, iters: int = 10,
             (x,) = run(x0, anchor, g.seq_dt, g.seq_dyaw, g.seq_mask,
                        g.ypr[:, 1:], g.node_mask,
                        g.loop_i, g.loop_j, g.loop_dt, g.loop_dyaw,
-                       g.loop_mask)
+                       g.loop_w * g.loop_mask)
             new_ypr = jnp.stack([x[:, 3], g.ypr[:, 1], g.ypr[:, 2]], -1)
             return g._replace(t=x[:, :3], ypr=new_ypr)
 
@@ -261,19 +272,20 @@ def make_sharded_posegraph_opt(mesh: Mesh, iters: int = 10,
         @partial(jax.shard_map, mesh=mesh, check_vma=False,
                  in_specs=in_specs, out_specs=(node_spec, node_spec))
         def run(x0, anchor_t, seq_dt, seq_dq, seq_mask, q0, node_mask,
-                loop_i, loop_j, loop_dt, loop_dq, loop_mask):
-            def gn_step(carry, _):
+                loop_i, loop_j, loop_dt, loop_dq, loop_w):
+            def gn_step(carry, it):
                 x, q0 = carry
                 f = lambda xx: _local_resid6(
                     xx, q0, anchor_t, seq_dt, seq_dq, seq_mask,
-                    loop_i, loop_j, loop_dt, loop_dq, loop_mask, axis, nd)
+                    loop_i, loop_j, loop_dt, loop_dq, loop_w, axis, nd,
+                    robust_c=_gnc_c(it))
                 gn = _gn_step_factory(f, node_mask, cg_iters, axis)
                 x = gn(x)
                 q0 = quat_mul(q0, so3_exp_quat(x[:, 3:]))
                 x = x.at[:, 3:].set(0.0)
                 return (x, q0), None
 
-            (x, q0), _ = jax.lax.scan(gn_step, (x0, q0), None, length=iters)
+            (x, q0), _ = jax.lax.scan(gn_step, (x0, q0), jnp.arange(iters))
             return x, q0
 
         def optimize(g: PoseGraph) -> PoseGraph:
@@ -282,7 +294,7 @@ def make_sharded_posegraph_opt(mesh: Mesh, iters: int = 10,
             x0 = jnp.concatenate([g.t, jnp.zeros((N, 3), g.t.dtype)], -1)
             x, q0 = run(x0, g.t[0], g.seq_dt, g.seq_dq, g.seq_mask, q0,
                         g.node_mask, g.loop_i, g.loop_j, g.loop_dt,
-                        g.loop_dq, g.loop_mask)
+                        g.loop_dq, g.loop_w * g.loop_mask)
             return g._replace(t=x[:, :3], ypr=mat_to_ypr(quat_to_mat(q0)))
 
     return jax.jit(optimize)

@@ -159,9 +159,46 @@ class SlamSystem:
                 enable_mapping, enable_loop))
 
         Kw = cfg.loop.window_points
-        self._extract_landmarks = jax.jit(
-            lambda w, sp, sv: window_landmarks(
-                w, self.cam, cfg.mapping, Kw, scan_points=sp, scan_valid=sv))
+
+        def _extract(w, sp, sv, corr_t, corr_q):
+            lm = window_landmarks(w, self.cam, cfg.mapping, Kw,
+                                  scan_points=sp, scan_valid=sv)
+            # 3D points are built in the estimator frame; shift to the
+            # loop-corrected world on-device (one dispatch)
+            return lm._replace(pts_w=Pose(corr_t, corr_q).apply(lm.pts_w))
+
+        self._extract_landmarks = jax.jit(_extract)
+
+        # jitted wrappers for the keyframe-rate host lane: on a
+        # remote-attached device every EAGER jnp op is its own tunnel
+        # round-trip, so the ~15-op graph_add_node etc. must each be ONE
+        # dispatch (measured: the eager path cost ~hundreds of ms per
+        # keyframe through the tunnel)
+        self._jit_add_node = jax.jit(graph_add_node)
+        self._jit_add_loop = jax.jit(graph_add_loop,
+                                     static_argnames=("weight",))
+        _KF_KEYS = ("ccam_t", "ccam_q", "cam_t", "cam_q", "ex_t", "ex_q",
+                    "lm_pts", "lm_norm", "lm_uv", "lm_sel", "lm_pnp",
+                    "loop_edge", "loop_edge_mask", "loop_planar",
+                    "loop_planar_mask")
+        self._kf_keys = _KF_KEYS
+        self._jit_gather_kf = jax.jit(
+            lambda outs, img, i: tuple(
+                [outs[k][i] for k in _KF_KEYS] + [img[i]]))
+
+        def drop_bad(g, gate_m):
+            from lmono_tpu.utils.lie import quat_rotate_inv
+            opt = graph_poses(g)
+            dt_est = quat_rotate_inv(opt.q[g.loop_i],
+                                     g.t[g.loop_j] - g.t[g.loop_i])
+            err = jnp.linalg.norm(dt_est - g.loop_dt, axis=-1)
+            bad = g.loop_mask & (err > gate_m)
+            return g._replace(loop_mask=g.loop_mask & ~bad), jnp.sum(bad)
+
+        self._jit_drop_bad = jax.jit(drop_bad)
+        self._jit_graph_last = jax.jit(
+            lambda g, last: (lambda p: (p.t[last], p.q[last]))(
+                graph_poses(g)))
 
         self.correction = Pose.identity()   # drift fix from the pose graph
         self.timer = StageTimer()
@@ -322,7 +359,8 @@ class SlamSystem:
                 for i in range(F):
                     if kf[i] and init[i]:
                         self._loop_lane_chunk(outs, frames, i,
-                                              t0 + i * dt, ccam_t[i])
+                                              t0 + i * dt, ccam_t[i],
+                                              self.frame_idx + i)
         self.frame_idx += F
         outs["loops_applied"] = applied
         return outs
@@ -334,10 +372,10 @@ class SlamSystem:
         fused detect+add program asynchronously, queue the result for a
         later reap."""
         w = self.estimator.state.window
-        lm = self._extract_landmarks(w, scan["points"], scan["valid"])
-        # 3D points were built in the estimator frame; shift to corrected
+        lm = self._extract_landmarks(w, scan["points"], scan["valid"],
+                                     self.correction.t, self.correction.q)
         corr_pose = self.correction.compose(cam_pose)
-        pts_w = self.correction.apply(lm.pts_w)
+        pts_w = lm.pts_w
 
         lidar_pack = None
         if lidar_feats is not None:
@@ -359,32 +397,34 @@ class SlamSystem:
         self._add_node(corr_pose, cam_pose, res, time)
 
     def _loop_lane_chunk(self, outs, frames, i: int, time: float,
-                         pos_np) -> None:
+                         pos_np, frame_idx: int) -> None:
         """Keyframe lane fed by `system_chunk` per-frame outputs (landmarks
-        and LiDAR features were extracted on-device inside the chunk)."""
-        corr_pose = Pose(outs["ccam_t"][i], outs["ccam_q"][i])
-        lidar_pack = (outs["loop_edge"][i], outs["loop_edge_mask"][i],
-                      outs["loop_planar"][i], outs["loop_planar_mask"][i])
+        and LiDAR features were extracted on-device inside the chunk).
+        All per-keyframe slices come from ONE jitted gather dispatch."""
+        (ccam_t, ccam_q, cam_t, cam_q, ex_t, ex_q, lm_pts, lm_norm, lm_uv,
+         lm_sel, lm_pnp, le, lem, lp, lpm, image) = self._jit_gather_kf(
+            {k: outs[k] for k in self._kf_keys}, frames["image"],
+            jnp.int32(i))
+        corr_pose = Pose(ccam_t, ccam_q)
         res = self.loop.process_keyframe(
-            frames["image"][i], self.cam, outs["lm_uv"][i],
-            outs["lm_norm"][i], outs["lm_pts"][i], outs["lm_sel"][i],
-            corr_pose, time, win_pnp_mask=outs["lm_pnp"][i],
-            lidar_features=lidar_pack,
-            extrinsic=Pose(outs["ex_t"][i], outs["ex_q"][i]),
+            image, self.cam, lm_uv, lm_norm, lm_pts, lm_sel,
+            corr_pose, time, win_pnp_mask=lm_pnp,
+            lidar_features=(le, lem, lp, lpm),
+            extrinsic=Pose(ex_t, ex_q),
             defer_note=True, pos=pos_np)
         if res is None:
             return
-        raw_cam = Pose(outs["cam_t"][i], outs["cam_q"][i])
-        self._add_node(corr_pose, raw_cam, res, time)
+        self._add_node(corr_pose, Pose(cam_t, cam_q), res, time, frame_idx)
 
-    def _add_node(self, corr_pose: Pose, raw_cam: Pose, res, time: float
-                  ) -> None:
+    def _add_node(self, corr_pose: Pose, raw_cam: Pose, res, time: float,
+                  frame_idx: Optional[int] = None) -> None:
         """Every processed keyframe becomes a pose-graph node; the detection
         result is queued for asynchronous reaping."""
         node_idx = self._n_nodes
         self._n_nodes += 1
-        self.graph = graph_add_node(self.graph, corr_pose)
-        self._node_frames.append(self.frame_idx)
+        self.graph = self._jit_add_node(self.graph, corr_pose)
+        self._node_frames.append(self.frame_idx if frame_idx is None
+                                 else frame_idx)
         # store the UNcorrected camera pose: final_trajectory computes the
         # raw-world → optimized-world transform per segment from it
         self._node_raw_cam.append(raw_cam)
@@ -393,19 +433,39 @@ class SlamSystem:
              "time": time})
 
     # ------------------------------------------------------------------
+    # loop-edge weights relative to sequential odometry edges: closures
+    # whose relative pose survived LiDAR GN refinement are cm-grade and
+    # anchor hard; PnP-only closures are dm-grade and must not out-shout a
+    # low-drift odometry chain (CPU-baseline measurement: weight-5 PnP
+    # edges DEGRADED system ATE 0.14 → 1.87 m on the synthetic circuit)
+    LOOP_W_REFINED = 5.0
+    LOOP_W_PNP = 1.5
+
     def _reap_loops(self) -> int:
         """Collect finished loop detections (dispatched on earlier frames),
-        apply graph edges + drift corrections.  Returns #loops applied.
+        apply graph edges, optimize ONCE, and re-anchor the drift
+        correction at the latest node.  Returns #loops applied.
 
         By the time this runs, the detection programs have executed behind
         subsequent front dispatches — the host sync here is a reap, not a
         stall (the overlap the reference buys with a separate loop-node
-        process)."""
+        process).
+
+        The correction re-anchors through the LAST pose-graph node, not the
+        closure node: subsequent frames chain off the most recent keyframe,
+        so anchoring there keeps the next sequential edge free of any
+        correction jump (the optimizer has already distributed the closure
+        along the chain)."""
+        if not self._pending:
+            return 0
         applied = 0
-        for p in self._pending:
-            res = p["res"]
-            found, old_seq, rel_t, rel_q = jax.device_get(
-                (res.found, res.old_seq, res.rel_t, res.rel_q))
+        # ONE batched device->host transfer for every pending detection
+        # (per-pending device_gets each cost a tunnel round-trip)
+        fetched = jax.device_get([
+            (p["res"].found, p["res"].old_seq, p["res"].rel_t,
+             p["res"].rel_q, p["res"].refined) for p in self._pending])
+        for p, (found, old_seq, rel_t, rel_q, refined) in zip(
+                self._pending, fetched):
             if not bool(found):
                 continue
             self.n_loops += 1
@@ -413,15 +473,30 @@ class SlamSystem:
             self.loop.note_loop(p["time"],
                                 np.asarray(p["node_pose"].t))
             rel = Pose(jnp.asarray(rel_t), jnp.asarray(rel_q))
-            self.graph = graph_add_loop(self.graph, int(old_seq),
-                                        p["node_idx"], rel)
-            self.graph = self._opt_graph(self.graph)
-            # drift correction: move the node to its optimized pose
-            opt = graph_poses(self.graph)
-            cur_opt = Pose(opt.t[p["node_idx"]], opt.q[p["node_idx"]])
-            self.correction = cur_opt.compose(
-                p["node_pose"].inverse()).compose(self.correction)
+            self.graph = self._jit_add_loop(
+                self.graph, jnp.int32(int(old_seq)),
+                jnp.int32(p["node_idx"]), rel,
+                weight=(self.LOOP_W_REFINED if bool(refined)
+                        else self.LOOP_W_PNP))
         self._pending = []
+        if applied:
+            self.graph = self._opt_graph(self.graph)
+            # hard-reject loop edges that the optimum still contradicts by
+            # >0.5 m: the IRLS kernel already down-weights them, but a
+            # rejected edge must also stop counting as a closure and stop
+            # exerting its residual Geman-McClure pull (a verification
+            # false-accept, not a noisy measurement)
+            self.graph, n_bad = self._jit_drop_bad(self.graph,
+                                                   jnp.float32(0.5))
+            if int(n_bad):
+                self.graph = self._opt_graph(self.graph)
+            last = self._n_nodes - 1
+            t_l, q_l = self._jit_graph_last(self.graph, jnp.int32(last))
+            # correction = optimized-world from raw-estimator-world at the
+            # newest node (algebraically opt ∘ raw_cam⁻¹; the previous
+            # incremental composition reduced to the same thing)
+            self.correction = Pose(t_l, q_l).compose(
+                self._node_raw_cam[last].inverse())
         return applied
 
     # ------------------------------------------------------------------

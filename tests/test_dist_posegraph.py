@@ -102,7 +102,8 @@ def test_sharded_residual_grad_hv_parity():
 
     grad2, hv2, cost2 = sharded(
         x0, v, anchor, g.seq_dt, g.seq_dyaw, g.seq_mask, g.ypr[:, 1:],
-        g.loop_i, g.loop_j, g.loop_dt, g.loop_dyaw, g.loop_mask)
+        g.loop_i, g.loop_j, g.loop_dt, g.loop_dyaw,
+        g.loop_w * g.loop_mask)
 
     cost1 = float(jnp.sum(r1 * r1))
     np.testing.assert_allclose(float(cost2[0]), cost1, rtol=1e-6)

@@ -78,7 +78,8 @@ def test_loop_lane_selects_best_landmarks_when_budget_small():
     scan_points = jnp.zeros((R, Wh, 3))
     scan_valid = jnp.zeros((R, Wh), bool)
     pts_w, norm, uv, sel, sel_pnp = system._extract_landmarks(
-        w, scan_points, scan_valid)
+        w, scan_points, scan_valid, jnp.zeros(3),
+        jnp.asarray([1.0, 0.0, 0.0, 0.0]))
     assert pts_w.shape[0] == cfg.loop.window_points
     assert bool(jnp.all(sel)), "selected landmarks include dead slots"
     assert int(sel_pnp.sum()) == cfg.loop.window_points
