@@ -213,8 +213,8 @@ class LoopDetector:
             db2 = db_add(db, self.codebook, **kw)
             return res, db2
 
-        # no donation: zero-filled db fields can alias other zero-valued
-        # inputs via constant pooling, which trips the donation checker
+        # no donation: donating the DB trips an axon-runtime
+        # InvalidArgument (and the functional copy is ~sub-ms at HBM bw)
         self._process_fused = jax.jit(process_fused,
                                       static_argnames=("cam",))
         self._detect = jax.jit(

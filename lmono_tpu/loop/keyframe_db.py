@@ -40,6 +40,10 @@ class KeyframeDB(NamedTuple):
 
     @staticmethod
     def empty(cfg: LoopConfig) -> "KeyframeDB":
+        """Fresh DB (fixed-capacity masked arrays).  The per-keyframe
+        db_add copies the bank (functional update; donating it trips an
+        axon-runtime InvalidArgument, and at 819 GB/s the ~0.6 GB KITTI
+        -preset copy costs under a millisecond anyway)."""
         C, K, Kw, B = (cfg.db_capacity, cfg.max_keypoints,
                        cfg.window_points, cfg.brief_bits)
         return KeyframeDB(

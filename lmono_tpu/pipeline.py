@@ -107,7 +107,14 @@ class SlamSystem:
             LoopDetector(cfg.loop, (cfg.camera.height, cfg.camera.width),
                          lidar_cfg=cfg.lidar)
             if enable_loop else None)
-        self.graph = PoseGraph.empty(cfg.loop.db_capacity) if enable_loop else None
+        # the pose graph starts SMALL and doubles on demand: its matrix-free
+        # GN+CG costs O(capacity) per step regardless of active nodes, so a
+        # 4096-capacity graph would pay 8x while only a few hundred
+        # keyframes exist (the dominant loop-lane cost at KITTI scale).
+        # Capacity stays a power-of-two multiple of kf_shards.
+        self._graph_cap = min(512, cfg.loop.db_capacity)
+        self.graph = (PoseGraph.empty(self._graph_cap)
+                      if enable_loop else None)
         self.mapper: Optional[MapBuilder] = (
             MapBuilder(self.cam, cfg.mapping, mesh=self.mesh)
             if enable_mapping else None)
@@ -422,6 +429,9 @@ class SlamSystem:
         result is queued for asynchronous reaping."""
         node_idx = self._n_nodes
         self._n_nodes += 1
+        if (self._n_nodes >= self._graph_cap - 2
+                and self._graph_cap < self.cfg.loop.db_capacity):
+            self._grow_graph()
         self.graph = self._jit_add_node(self.graph, corr_pose)
         self._node_frames.append(self.frame_idx if frame_idx is None
                                  else frame_idx)
@@ -431,6 +441,31 @@ class SlamSystem:
         self._pending.append(
             {"res": res, "node_idx": node_idx, "node_pose": corr_pose,
              "time": time})
+
+    # ------------------------------------------------------------------
+    def _grow_graph(self) -> None:
+        """Double the pose-graph node capacity, padding the node-axis
+        arrays (loop-edge arrays are capacity-independent).  The jitted
+        optimizers retrace once per size — log2(total/512) times over a
+        whole run."""
+        old = self.graph
+        new_cap = min(self._graph_cap * 2, self.cfg.loop.db_capacity)
+        fresh = PoseGraph.empty(new_cap,
+                                max_loops=old.loop_mask.shape[0])
+        c = self._graph_cap
+        self.graph = fresh._replace(
+            t=fresh.t.at[:c].set(old.t),
+            ypr=fresh.ypr.at[:c].set(old.ypr),
+            node_mask=fresh.node_mask.at[:c].set(old.node_mask),
+            seq_dt=fresh.seq_dt.at[:c].set(old.seq_dt),
+            seq_dyaw=fresh.seq_dyaw.at[:c].set(old.seq_dyaw),
+            seq_dq=fresh.seq_dq.at[:c].set(old.seq_dq),
+            seq_mask=fresh.seq_mask.at[:c].set(old.seq_mask),
+            loop_i=old.loop_i, loop_j=old.loop_j, loop_dt=old.loop_dt,
+            loop_dyaw=old.loop_dyaw, loop_dq=old.loop_dq,
+            loop_mask=old.loop_mask, loop_w=old.loop_w,
+            n_nodes=old.n_nodes, n_loops=old.n_loops)
+        self._graph_cap = new_cap
 
     # ------------------------------------------------------------------
     # loop-edge weights relative to sequential odometry edges: closures
@@ -578,7 +613,19 @@ class SlamSystem:
             template["graph"] = self.graph
         if self.mapper is not None:
             template["map"] = self.mapper.map
-        state = load_state(path, template)
+        while True:
+            try:
+                state = load_state(path, template)
+                break
+            except ValueError:
+                # the saved pose graph may have grown beyond this fresh
+                # system's capacity — grow and retry (capacities are
+                # powers of two, so this converges in a few doublings)
+                if (self.loop is None
+                        or self._graph_cap >= self.cfg.loop.db_capacity):
+                    raise
+                self._grow_graph()
+                template["graph"] = self.graph
         self.lidar.state = state["lidar"]
         self.tracker.state = state["tracker"]
         self.estimator.state = state["estimator"]

@@ -182,3 +182,39 @@ def test_fused_front_matches_per_lane_path():
     assert bool(oa["initialized"])
     assert gap < 5e-3, f"fused-front/per-lane pose gap {gap}"
     assert "front" in sys_b.timer.summary()
+
+
+def test_graph_capacity_growth_preserves_state():
+    """The pose graph starts small (512) and doubles on demand; growth must
+    preserve nodes, edges, and counters exactly."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from lmono_tpu.loop.posegraph import graph_add_loop, graph_add_node
+    from lmono_tpu.utils.lie import Pose
+
+    cfg = synthetic_config()
+    cfg = cfg.replace(loop=dataclasses.replace(cfg.loop, db_capacity=2048))
+    system = SlamSystem(cfg, enable_loop=True, enable_mapping=False)
+    assert system._graph_cap == 512
+
+    for i in range(5):
+        system.graph = graph_add_node(
+            system.graph, Pose(jnp.asarray([float(i), 0.0, 0.0]),
+                               jnp.asarray([1.0, 0.0, 0.0, 0.0])))
+        system._n_nodes += 1
+    system.graph = graph_add_loop(
+        system.graph, 0, 4, Pose.identity(), weight=2.5)
+    before_t = np.asarray(system.graph.t[:5]).copy()
+
+    system._grow_graph()
+    assert system._graph_cap == 1024
+    assert system.graph.t.shape[0] == 1024
+    np.testing.assert_array_equal(np.asarray(system.graph.t[:5]), before_t)
+    assert int(system.graph.n_nodes) == 5
+    assert int(system.graph.n_loops) == 1
+    assert float(system.graph.loop_w[0]) == 2.5
+    assert bool(system.graph.loop_mask[0])
+    assert bool(system.graph.seq_mask[3]) and not bool(
+        system.graph.seq_mask[5])
