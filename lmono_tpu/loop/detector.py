@@ -24,7 +24,7 @@ from lmono_tpu.loop.keyframe_db import KeyframeDB, db_add, db_query
 from lmono_tpu.ops.brief import brief_describe, make_codebook, match_descriptors
 from lmono_tpu.ops.corners import detect_grid
 from lmono_tpu.ops.ransac import ransac_pnp
-from lmono_tpu.utils.lie import Pose, boxminus, mat_to_ypr, quat_to_mat
+from lmono_tpu.utils.lie import Pose, mat_to_ypr, quat_to_mat
 
 
 class LoopResult(NamedTuple):
