@@ -11,3 +11,8 @@ from lmono_tpu.camera.factory import (  # noqa: F401
     camera_from_config,
     camera_from_yaml,
 )
+from lmono_tpu.camera.calibration import (  # noqa: F401
+    calibrate_camera,
+    calibrate_pinhole,
+    find_chessboard_corners,
+)

@@ -167,6 +167,181 @@ def calibrate_pinhole(obj_xy: np.ndarray, img_xy: np.ndarray,
 
 
 # --------------------------------------------------------------------------
+# General intrinsic calibration: every projective model of the reference's
+# cost factory (`CostFunctionFactory.cc:62-452` builds per-model reprojection
+# functors for PINHOLE / MEI / KANNALA_BRANDT; here ONE autodiff GN covers
+# them because `space_to_plane` is differentiable w.r.t. the parameter
+# vector).  Initialization sweeps focal candidates and picks the converged
+# minimum — replaces the reference's per-model `estimateIntrinsics`
+# heuristics (`CataCamera.cc` / `EquidistantCamera.cc`).
+# --------------------------------------------------------------------------
+
+class CalibResultGeneric(NamedTuple):
+    model: str
+    params: dict            # model parameter dict (floats)
+    view_poses: Pose        # (V,) camera-from-board
+    reproj_rmse: float
+
+
+# θ layout per model (the optimized parameter vector)
+_MODEL_THETA = {
+    "pinhole": ("fx", "fy", "cx", "cy", "k1", "k2", "p1", "p2"),
+    "mei": ("gamma1", "gamma2", "u0", "v0", "xi", "k1", "k2", "p1", "p2"),
+    "equidistant": ("mu", "mv", "u0", "v0", "k2", "k3", "k4", "k5"),
+}
+
+
+def _theta_to_params(model: str, theta) -> dict:
+    return {k: theta[i] for i, k in enumerate(_MODEL_THETA[model])}
+
+
+def _project(model: str, theta, P):
+    from lmono_tpu.camera.models import (_equi_s2p, _mei_s2p, _pinhole_s2p)
+    p = _theta_to_params(model, theta)
+    fn = {"pinhole": _pinhole_s2p, "mei": _mei_s2p,
+          "equidistant": _equi_s2p}[model]
+    return fn(p, P)
+
+
+def _lift_nodist(model: str, theta, uv):
+    """Approximate normalized-plane lift for POSE INITIALIZATION only
+    (distortion ignored — the joint GN absorbs the residual error)."""
+    if model == "pinhole":
+        fx, fy, cx, cy = theta[0], theta[1], theta[2], theta[3]
+        return jnp.stack([(uv[..., 0] - cx) / fx,
+                          (uv[..., 1] - cy) / fy], -1)
+    if model == "mei":
+        g1, g2, u0, v0, xi = theta[0], theta[1], theta[2], theta[3], theta[4]
+        mx = (uv[..., 0] - u0) / g1
+        my = (uv[..., 1] - v0) / g2
+        r2 = mx * mx + my * my
+        disc = 1.0 + (1.0 - xi * xi) * r2
+        z = 1.0 - xi * (r2 + 1.0) / (xi + jnp.sqrt(jnp.maximum(disc, 1e-9)))
+        return jnp.stack([mx / jnp.maximum(z, 1e-3),
+                          my / jnp.maximum(z, 1e-3)], -1)
+    # equidistant: rd = f·θ ⇒ tanθ scaling
+    mu, mv, u0, v0 = theta[0], theta[1], theta[2], theta[3]
+    x = (uv[..., 0] - u0) / mu
+    y = (uv[..., 1] - v0) / mv
+    rd = jnp.sqrt(x * x + y * y)
+    s = jnp.tan(rd) / jnp.maximum(rd, 1e-9)
+    return jnp.stack([x * s, y * s], -1)
+
+
+def _pose_from_h_jax(H):
+    """`_pose_from_homography` with K = I, jit/vmap-safe (H on the
+    NORMALIZED plane)."""
+    h1, h2, h3 = H[:, 0], H[:, 1], H[:, 2]
+    lam = 1.0 / jnp.maximum(jnp.linalg.norm(h1), 1e-9)
+    # board in front of the camera: flip the homography sign if t_z < 0
+    sgn = jnp.where(h3[2] * lam < 0, -1.0, 1.0)
+    r1 = sgn * lam * h1
+    r2 = sgn * lam * h2
+    t = sgn * lam * h3
+    r3 = jnp.cross(r1, r2)
+    R = jnp.stack([r1, r2, r3], axis=1)
+    U, _, Vt = jnp.linalg.svd(R)
+    R = U @ Vt
+    R = jnp.where(jnp.linalg.det(R) < 0, -R, R)
+    return Pose(t.astype(jnp.float32), mat_to_quat(R.astype(jnp.float32)))
+
+
+def calibrate_camera(model: str, obj_xy: np.ndarray, img_xy: np.ndarray,
+                     image_size: tuple[int, int] | None = None,
+                     iters: int = 40) -> CalibResultGeneric:
+    """Intrinsic calibration for pinhole / MEI / Kannala–Brandt models.
+
+    obj_xy: (N, 2) board coordinates (meters); img_xy: (V, N, 2) pixels;
+    image_size: (W, H) for the principal-point / focal-sweep priors
+    (defaults to the detection bounding box).
+
+    One damped autodiff GN over (θ, view poses) per focal candidate — the
+    candidates run as ONE vmapped program and the converged minimum wins
+    (wide-FoV models have no Zhang closed form; the sweep replaces the
+    reference's per-model estimateIntrinsics seeds).
+    """
+    if model not in _MODEL_THETA:
+        raise ValueError(f"unknown model {model!r}; "
+                         f"supported: {sorted(_MODEL_THETA)}")
+    Vn, N = img_xy.shape[0], img_xy.shape[1]
+    obj_j = jnp.asarray(obj_xy, jnp.float32)
+    img_j = jnp.asarray(img_xy, jnp.float32)
+    obj3 = jnp.concatenate([obj_j, jnp.zeros_like(obj_j[:, :1])], -1)
+    if image_size is None:
+        W = float(np.max(img_xy[..., 0]) + np.min(img_xy[..., 0]))
+        H = float(np.max(img_xy[..., 1]) + np.min(img_xy[..., 1]))
+    else:
+        W, H = float(image_size[0]), float(image_size[1])
+    cx0, cy0 = W / 2.0, H / 2.0
+
+    # focal candidates (pixels); MEI additionally sweeps xi
+    f_cands = np.array([0.4, 0.7, 1.0, 1.5, 2.2]) * max(W, H) / 2.0
+    if model == "pinhole":
+        thetas = [np.array([f, f, cx0, cy0, 0, 0, 0, 0]) for f in f_cands]
+    elif model == "mei":
+        thetas = [np.array([f * (1 + xi), f * (1 + xi), cx0, cy0, xi,
+                            0, 0, 0, 0])
+                  for f in f_cands for xi in (0.6, 1.0, 1.6)]
+    else:  # equidistant
+        thetas = [np.array([f, f, cx0, cy0, 0, 0, 0, 0]) for f in f_cands]
+    theta0 = jnp.asarray(np.stack(thetas), jnp.float32)    # (C, T)
+    T = theta0.shape[1]
+
+    def calib_one(theta_init):
+        # per-view pose init: normalized-plane homography at the candidate
+        # intrinsics (distortion-free lift)
+        xy_n = _lift_nodist(model, theta_init, img_j)      # (V, N, 2)
+        Hs = jax.vmap(lambda xy: _homography_dlt(obj_j, xy))(xy_n)
+        poses0 = jax.vmap(_pose_from_h_jax)(Hs)
+        pose_t, pose_q = poses0.t, poses0.q                # (V,3),(V,4)
+
+        def flat_res(x):
+            theta = x[:T]
+            dp = x[T:].reshape(Vn, 6)
+
+            def view(v):
+                pv = Pose(pose_t[v], pose_q[v]).retract(dp[v])
+                P = pv.apply(obj3)
+                return _project(model, theta, P) - img_j[v]
+
+            return jnp.stack([view(v) for v in range(Vn)]).reshape(-1)
+
+        x = jnp.concatenate([theta_init, jnp.zeros(Vn * 6, jnp.float32)])
+
+        def body(x, _):
+            r = flat_res(x)
+            J = jax.jacfwd(flat_res)(x)
+            JtJ = J.T @ J
+            damp = 1e-3 * (1.0 + jnp.diagonal(JtJ))
+            dx = -jnp.linalg.solve(JtJ + jnp.diag(damp), J.T @ r)
+            ok = jnp.all(jnp.isfinite(dx))
+            x = jnp.where(ok, x + dx, x)
+            return x, jnp.sqrt(jnp.mean(r * r))
+
+        x, rmse_hist = jax.lax.scan(body, x, None, length=iters)
+        return x, rmse_hist[-1], pose_t, pose_q
+
+    xs, rmses, pt0, pq0 = jax.jit(jax.vmap(calib_one))(theta0)
+    rmses = np.asarray(jnp.where(jnp.isfinite(rmses), rmses, 1e12))
+    best = int(np.argmin(rmses))
+    x = xs[best]
+    theta = np.asarray(x[:T], np.float64)
+    dp = np.asarray(x[T:]).reshape(Vn, 6)
+    base = Pose(pt0[best], pq0[best])
+    final_poses = Pose(
+        jnp.stack([Pose(base.t[v], base.q[v]).retract(
+            jnp.asarray(dp[v])).t for v in range(Vn)]),
+        jnp.stack([Pose(base.t[v], base.q[v]).retract(
+            jnp.asarray(dp[v])).q for v in range(Vn)]),
+    )
+    params = {k: float(theta[i])
+              for i, k in enumerate(_MODEL_THETA[model])}
+    return CalibResultGeneric(
+        model=model, params=params, view_poses=final_poses,
+        reproj_rmse=float(rmses[best]))
+
+
+# --------------------------------------------------------------------------
 # Chessboard corner detection (reference `camera_models/src/chessboard/`)
 # --------------------------------------------------------------------------
 

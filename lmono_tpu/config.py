@@ -59,14 +59,36 @@ class LidarConfig:
     map_keep_radius: float = 120.0    # drop map points farther than this from pose
     map_update: str = "hash"          # "hash": O(N) spatial-hash scatter;
                                       # "sort": exact argsort dedup
+    map_update_every: int = 1         # insert scan features into the map
+                                      # every Nth frame (first 10 frames
+                                      # always insert).  A-LOAM's mapping
+                                      # thread likewise runs below odometry
+                                      # rate; with voxel dedup the banks
+                                      # converge to the same content.
     knn_k: int = 5
-    knn_select_bf16: bool = False     # bf16 neighbor selection (recentered),
-                                      # exact f32 re-distance on the k picks.
-                                      # Wins only on big maps (≥10⁵ points)
-                                      # where the Q×M score matrix dominates;
-                                      # at the default bank sizes the extra
-                                      # cast/gather ops cost more than the
-                                      # halved HBM traffic saves.
+    knn_impl: str = "xla"             # "xla": fused broadcast-diff +
+                                      # approx_min_k (profiled in-program:
+                                      # 0.07 ms at Q=1024/M=16k inside the
+                                      # odometry scan — VPU speed-of-light
+                                      # and fuses with neighbors);
+                                      # "pallas": ops/pallas/knn.py exact
+                                      # streaming kernel (wins standalone-
+                                      # dispatch benches, but 4x slower
+                                      # in-program at SLAM shapes — the
+                                      # custom-call boundary blocks fusion);
+                                      # "auto" = xla on shard_map lanes /
+                                      # non-TPU, pallas otherwise.
+    knn_select: str = "exact"         # neighbor-SELECTION precision for the
+                                      # XLA path (final distances are always
+                                      # exact f32 on the k picks):
+                                      # "exact": fused broadcast-diff f32;
+                                      # "bf16x3": f32 matmul at
+                                      #   Precision.HIGH — err ~2⁻¹⁶·|q||t|,
+                                      #   ≤0.05 m² recentered (selection
+                                      #   effectively exact, MXU-rate);
+                                      # "bf16": bf16 cast cross-term
+                                      #   (cheapest, ~0.4% coordinate error
+                                      #   — measurably worse ATE).
 
 
 @dataclass(frozen=True)

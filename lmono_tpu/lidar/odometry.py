@@ -82,13 +82,28 @@ def odometry_step(state: OdometryState, scan: dict,
         upd = lambda *a: bank_update_hash(*a, axis=axis)
     else:
         upd = bank_update
-    ew = pose.apply(feats.edge_points)
-    pw = pose.apply(feats.planar_points)
-    edge_map = upd(state.edge_map, ew, feats.edge_mask,
-                   cfg.map_voxel_size, pose.t, cfg.map_keep_radius)
-    plane_map = upd(state.plane_map, pw, feats.planar_mask,
-                    cfg.map_voxel_size * 2.0, pose.t,
-                    cfg.map_keep_radius)
+
+    def do_update(_):
+        ew = pose.apply(feats.edge_points)
+        pw = pose.apply(feats.planar_points)
+        edge_map = upd(state.edge_map, ew, feats.edge_mask,
+                       cfg.map_voxel_size, pose.t, cfg.map_keep_radius)
+        plane_map = upd(state.plane_map, pw, feats.planar_mask,
+                        cfg.map_voxel_size * 2.0, pose.t,
+                        cfg.map_keep_radius)
+        return edge_map, plane_map
+
+    if cfg.map_update_every > 1:
+        # sub-rate mapping (A-LOAM's map thread runs below odometry rate);
+        # the first frames always insert so registration has a map to
+        # anchor to.  lax.cond executes only the taken branch on TPU.
+        want = ((state.frame % cfg.map_update_every == 0)
+                | (state.frame < 10))
+        edge_map, plane_map = jax.lax.cond(
+            want, do_update,
+            lambda _: (state.edge_map, state.plane_map), None)
+    else:
+        edge_map, plane_map = do_update(None)
 
     new_state = OdometryState(
         pose=pose,

@@ -124,10 +124,26 @@ class PlaneCorr(NamedTuple):
     ok: jax.Array        # (Qp,)
 
 
-def _knn_cfg(query_w, bank, bank_mask, cfg: LidarConfig, center):
-    sel = jnp.bfloat16 if cfg.knn_select_bf16 else None
+def _knn_cfg(query_w, bank, bank_mask, cfg: LidarConfig, center,
+             axis: str | None = None):
+    # "pallas" routes to the exact streaming kernel (ops/pallas/knn.py).
+    # Default is XLA everywhere: profiled IN-PROGRAM on the v5e (trace
+    # 2026-08-21), the fused broadcast-diff + approx_min_k runs 0.07 ms at
+    # Q=1024/M=16k inside the odometry scan vs 0.28 ms for the Pallas
+    # custom call at the same shape — the kernel wins standalone-dispatch
+    # microbenches but the custom-call boundary blocks XLA fusion with the
+    # surrounding gather/fit ops.  shard_map lanes (axis set) and non-TPU
+    # backends always use XLA.
+    use_pallas = (cfg.knn_impl == "pallas"
+                  or (cfg.knn_impl == "auto" and axis is None
+                      and jax.default_backend() == "tpu"))
+    if use_pallas and axis is None:
+        from lmono_tpu.ops.pallas.knn import knn_pallas
+        return knn_pallas(query_w, bank, bank_mask, cfg.knn_k)
+    sel = jnp.bfloat16 if cfg.knn_select == "bf16" else None
+    prec = (jax.lax.Precision.HIGH if cfg.knn_select == "bf16x3" else None)
     return knn(query_w, bank, bank_mask, cfg.knn_k,
-               center=center, select_dtype=sel)
+               center=center, select_dtype=sel, select_precision=prec)
 
 
 def _knn_nbrs(query_w, bank, bank_mask, cfg: LidarConfig, center,
@@ -140,7 +156,7 @@ def _knn_nbrs(query_w, bank, bank_mask, cfg: LidarConfig, center,
     contained in the union of per-shard winners), O(Q·k·D) bytes on ICI
     vs the O(Q·M/D) local distance work (see parallel/dist_knn.py).
     """
-    d2, idx = _knn_cfg(query_w, bank, bank_mask, cfg, center)
+    d2, idx = _knn_cfg(query_w, bank, bank_mask, cfg, center, axis)
     nbrs = bank[idx]                                 # (Q, k, 3)
     if axis is None:
         return d2, nbrs

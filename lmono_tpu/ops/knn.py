@@ -20,7 +20,8 @@ _INF = 1e12
 
 def knn(query: jax.Array, target: jax.Array, target_mask: jax.Array,
         k: int, chunk: int = 4096, center: jax.Array | None = None,
-        select_dtype=None) -> tuple[jax.Array, jax.Array]:
+        select_dtype=None,
+        select_precision=None) -> tuple[jax.Array, jax.Array]:
     """k nearest targets for each query point.
 
     query: (Q, 3); target: (M, 3); target_mask: (M,) bool.
@@ -31,11 +32,14 @@ def knn(query: jax.Array, target: jax.Array, target_mask: jax.Array,
     TPU-optimized partial reduction).  Falls back to a chunked streaming
     top-k only when Q·M would blow past ~64M elements of HBM traffic.
 
-    center/select_dtype: optional reduced-precision neighbor SELECTION —
-    coordinates are recentered by `center` (distances are translation
-    invariant; recentering keeps magnitudes small so bf16 stays accurate)
-    and the Q×M score matrix is computed in `select_dtype` (e.g. bf16 —
-    half the HBM traffic, double the MXU rate).  The returned distances
+    center/select_dtype/select_precision: optional reduced-precision
+    neighbor SELECTION — coordinates are recentered by `center` (distances
+    are translation invariant; recentering keeps magnitudes small so
+    reduced precision stays accurate) and the Q×M score matrix's cross
+    term runs either in `select_dtype` (e.g. bf16 — half the HBM traffic,
+    double the MXU rate) or as an f32 matmul at `select_precision` (e.g.
+    Precision.HIGH = 3-pass bf16x3 — error ~2⁻¹⁶·|q||t|, ≤0.05 m² after
+    recentering: selection is effectively exact).  The returned distances
     are always exact f32 recomputed on the selected k, so downstream
     gating is unaffected; only the neighbor *choice* is approximate.
     """
@@ -44,6 +48,7 @@ def knn(query: jax.Array, target: jax.Array, target_mask: jax.Array,
     if center is not None:
         query = query - center
         target = target - center
+    approx_select = select_dtype is not None or select_precision is not None
     # approx_min_k lowers to the TPU-optimized PartialReduce; its CPU
     # fallback is a full sort, so keep the streaming path off-TPU
     if jax.default_backend() == "tpu":
@@ -51,7 +56,7 @@ def knn(query: jax.Array, target: jax.Array, target_mask: jax.Array,
         t2 = jnp.sum(target * target, axis=-1)          # always f32
 
         def slab(q):
-            if select_dtype is None:
+            if not approx_select:
                 # exact f32 distances via the fused broadcast-diff form.
                 # The matmul expansion q²-2q·t+t² runs the MXU at bf16
                 # precision by default, which at world-frame magnitudes
@@ -64,14 +69,15 @@ def knn(query: jax.Array, target: jax.Array, target_mask: jax.Array,
             else:
                 qs = q.astype(tsel.dtype)
                 q2 = jnp.sum(q * q, axis=-1, keepdims=True)
-                # only the cross term runs in select_dtype; accumulation
-                # and the squared-norm terms stay f32
+                # only the cross term runs reduced; accumulation and the
+                # squared-norm terms stay f32
                 d2 = (q2 - 2.0 * jnp.dot(
-                    qs, tsel.T, preferred_element_type=jnp.float32)
+                    qs, tsel.T, preferred_element_type=jnp.float32,
+                    precision=select_precision)
                       + t2[None, :])
             d2 = jnp.where(target_mask[None, :], d2, _INF)
             vals, idx = jax.lax.approx_min_k(d2, k)
-            if select_dtype is not None:
+            if approx_select:
                 # exact re-distance on the selected k (tiny gather)
                 nbr = target[idx]                       # (Qs, k, 3)
                 vals = jnp.sum((q[:, None, :] - nbr) ** 2, axis=-1)

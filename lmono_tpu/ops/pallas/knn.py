@@ -1,21 +1,25 @@
-"""Pallas TPU kernel: streaming brute-force KNN, per-chunk top-k + XLA merge.
+"""Pallas TPU kernel: streaming brute-force KNN with in-kernel top-k merge.
 
 The XLA path (`lmono_tpu.ops.knn`) computes the full Q×M distance matrix and
 reduces it with `approx_min_k` (recall ≈ 0.95); this kernel is EXACT and
 never materializes the matrix in HBM: the bank streams through VMEM in
-chunks, each (TQ, C) distance block is produced on the MXU and reduced to
-that chunk's k best (distance, index) pairs in-register; a tiny XLA top_k
-merges the per-chunk candidates.  Designed for the SLAM bank sizes
-(M ≤ ~10⁵: per-chunk candidates cost (Q · M/C · 128) · 8 B of HBM, which at
-M = 64k / C = 1024 is ~4 MB per 1k queries).
+chunks, each (TQ, C) distance block is produced on the MXU and merged into a
+RUNNING best-k accumulator held in the revisited output block — the global
+top-k leaves the kernel directly, with no per-chunk candidate spill.
 
-Two axon-toolchain lessons (r3's kernel hung Mosaic > 25 min; VERDICT r3 #4):
-  * cross-grid-step state (revisited output blocks holding a running sorted
-    best-list, inserted via `pltpu.roll`) is what hung the pipeliner — this
-    version keeps every grid step independent;
-  * a (C,)→(TQ, C) sublane→lane mask broadcast (`jnp.where(msk[None, :] …)`)
-    also hangs Mosaic — masked/padded bank rows are pre-moved to a far
-    sentinel instead, so their distances are ~3e12 and never win a min.
+This replaces the r4 design (per-chunk k-best written to HBM + XLA top_k
+merge), whose O(nj·128) lanes of candidate output made it LOSE to XLA
+exactly at large M (KERNELS.json r4: 0.48x at M=131072 — the candidate
+arrays alone were ~nj·128·8 B per query row).  The accumulator form writes
+k values per query total, so HBM traffic is just the bank stream.
+
+Two axon-toolchain lessons kept from r3/r4 (r3's kernel hung Mosaic >25 min):
+  * `pltpu.roll`-based sorted-insert state hung the pipeliner — the running
+    best here is maintained by k min-extractions over [chunk | acc] lanes,
+    pure elementwise min/compare ops;
+  * a (C,)→(TQ, C) sublane→lane mask broadcast also hangs Mosaic — masked/
+    padded bank rows are pre-moved to a far sentinel instead, so their
+    distances are ~3e12 and never win a min.
 
 Matmul precision: the MXU multiplies f32 at bf16 precision by default;
 at world-frame magnitudes that injects O(10 m²) error into d², so the
@@ -39,17 +43,21 @@ _INF = 1e12
 _FAR = 1e6
 
 
-def _knn_chunk_kernel(q_ref, bank_ref, out_d_ref, out_i_ref,
-                      *, k: int, chunk: int, TQ: int):
-    """Grid = (q_tiles, bank_chunks); every step independent (no revisited
-    state).  Reduces one (TQ, chunk) distance block to the chunk's k best
-    (d², index) pairs via k min-extractions, written to lanes 0..k-1 of the
-    per-chunk output block."""
+def _knn_acc_kernel(q_ref, bank_ref, out_d_ref, out_i_ref,
+                    *, k: int, chunk: int, TQ: int):
+    """Grid = (q_tiles, bank_chunks), bank axis innermost.  The output
+    block (TQ, 128) is revisited across the bank axis and carries the
+    running best-k in lanes 0..k-1 (remaining lanes stay _INF)."""
     j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_d_ref[:, :] = jnp.full((TQ, 128), _INF, jnp.float32)
+        out_i_ref[:, :] = jnp.zeros((TQ, 128), jnp.int32)
+
     q = q_ref[:, 0:3]                                   # (TQ, 3)
     q2 = jnp.sum(q * q, axis=1, keepdims=True)          # (TQ, 1)
-    tile4 = bank_ref[:, :]                              # (C, 4)
-    tile = tile4[:, 0:3]
+    tile = bank_ref[:, 0:3]                             # (C, 3)
     t2 = jnp.sum(tile * tile, axis=1)
     d2 = (q2 - 2.0 * jax.lax.dot_general(
         q, tile, (((1,), (1,)), ((), ())),
@@ -58,15 +66,20 @@ def _knn_chunk_kernel(q_ref, bank_ref, out_d_ref, out_i_ref,
     base = j * chunk
     idx = base + jax.lax.broadcasted_iota(jnp.int32, (TQ, chunk), 1)
 
+    # merge [this chunk | accumulator] by k min-extractions: chunks cover
+    # disjoint index ranges, so ties can only collide on equal distances,
+    # which the earliest-global-index rule breaks deterministically
+    cat_d = jnp.concatenate([d2, out_d_ref[:, :]], axis=1)  # (TQ, C+128)
+    cat_i = jnp.concatenate([idx, out_i_ref[:, :]], axis=1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (TQ, 128), 1)
     acc_d = jnp.full((TQ, 128), _INF, jnp.float32)
     acc_i = jnp.zeros((TQ, 128), jnp.int32)
     for step in range(k):
-        m = jnp.min(d2, axis=1, keepdims=True)               # (TQ, 1)
-        is_m = d2 == m
-        big = jnp.where(is_m, idx, jnp.int32(2 ** 30))
+        m = jnp.min(cat_d, axis=1, keepdims=True)            # (TQ, 1)
+        is_m = cat_d == m
+        big = jnp.where(is_m, cat_i, jnp.int32(2 ** 30))
         mi = jnp.min(big, axis=1, keepdims=True)             # earliest index
-        d2 = jnp.where(is_m & (idx == mi), _INF, d2)
+        cat_d = jnp.where(is_m & (cat_i == mi), _INF, cat_d)
         acc_d = jnp.where(lane == step, m, acc_d)
         acc_i = jnp.where(lane == step, mi, acc_i)
     out_d_ref[:, :] = acc_d
@@ -93,7 +106,7 @@ def knn_pallas(query, target, target_mask, k: int = 5, chunk: int = 1024,
     tgt = jnp.where(target_mask[:, None], target, far[None, :])
     t4 = jnp.full((Mp, 4), _FAR, jnp.float32).at[:M, :3].set(tgt)
 
-    kernel = functools.partial(_knn_chunk_kernel, k=k, chunk=chunk, TQ=tq)
+    kernel = functools.partial(_knn_acc_kernel, k=k, chunk=chunk, TQ=tq)
     out_d, out_i = pl.pallas_call(
         kernel,
         grid=(Qp // tq, nj),
@@ -104,23 +117,20 @@ def knn_pallas(query, target, target_mask, k: int = 5, chunk: int = 1024,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tq, 128), lambda i, j: (i, j),
+            pl.BlockSpec((tq, 128), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, 128), lambda i, j: (i, j),
+            pl.BlockSpec((tq, 128), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Qp, nj * 128), jnp.float32),
-            jax.ShapeDtypeStruct((Qp, nj * 128), jnp.int32),
+            jax.ShapeDtypeStruct((Qp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Qp, 128), jnp.int32),
         ],
         interpret=interpret,
     )(q4, t4)
-    # gather each chunk's k candidates and merge with one small XLA top_k.
-    # masked/padded rows surface as sentinel distances ≥ _FAR² ≫ any real
-    # d²; re-flag them to _INF for `ops.knn.knn` parity.
-    cd = out_d.reshape(Qp, nj, 128)[:, :, :k].reshape(Qp, nj * k)
-    ci = out_i.reshape(Qp, nj, 128)[:, :, :k].reshape(Qp, nj * k)
-    neg_d, sel = jax.lax.top_k(-cd, k)
-    d = -neg_d[:Q]
+    # lanes 0..k-1 already hold the exact global top-k.  masked/padded rows
+    # surface as sentinel distances ≥ _FAR² ≫ any real d²; re-flag them to
+    # _INF for `ops.knn.knn` parity.
+    d = out_d[:Q, :k]
     d = jnp.where(d >= 0.9 * _FAR * _FAR, _INF, d)
-    return d, jnp.take_along_axis(ci, sel, axis=1)[:Q]
+    return d, out_i[:Q, :k]

@@ -111,8 +111,12 @@ class SlamSystem:
         # GN+CG costs O(capacity) per step regardless of active nodes, so a
         # 4096-capacity graph would pay 8x while only a few hundred
         # keyframes exist (the dominant loop-lane cost at KITTI scale).
-        # Capacity stays a power-of-two multiple of kf_shards.
-        self._graph_cap = min(512, cfg.loop.db_capacity)
+        # Every capacity (start and grown) is rounded UP to a multiple of
+        # kf_shards so the sharded pose-graph optimizer can split the node
+        # axis (db_capacity itself is validated divisible above).
+        ks = max(1, pc.kf_shards)
+        self._graph_cap = min(-(-min(512, cfg.loop.db_capacity) // ks) * ks,
+                              cfg.loop.db_capacity)
         self.graph = (PoseGraph.empty(self._graph_cap)
                       if enable_loop else None)
         self.mapper: Optional[MapBuilder] = (
@@ -449,7 +453,9 @@ class SlamSystem:
         optimizers retrace once per size — log2(total/512) times over a
         whole run."""
         old = self.graph
-        new_cap = min(self._graph_cap * 2, self.cfg.loop.db_capacity)
+        ks = max(1, self.cfg.parallel.kf_shards)
+        new_cap = min(-(-self._graph_cap * 2 // ks) * ks,
+                      self.cfg.loop.db_capacity)
         fresh = PoseGraph.empty(new_cap,
                                 max_loops=old.loop_mask.shape[0])
         c = self._graph_cap
@@ -496,17 +502,32 @@ class SlamSystem:
         applied = 0
         # ONE batched device->host transfer for every pending detection
         # (per-pending device_gets each cost a tunnel round-trip)
-        fetched = jax.device_get([
-            (p["res"].found, p["res"].old_seq, p["res"].rel_t,
-             p["res"].rel_q, p["res"].refined) for p in self._pending])
+        with self.timer.stage("reap_fetch"):
+            fetched = jax.device_get([
+                (p["res"].found, p["res"].old_seq, p["res"].rel_t,
+                 p["res"].rel_q, p["res"].refined) for p in self._pending])
+        # SKIP_LOOP_* parity across the pending window: detections dispatch
+        # before earlier results are known, so several keyframes at one
+        # revisit can all come back found.  Apply the suppression gates here
+        # in time order — the reference's loop node (one keyframe in flight)
+        # would have skipped the later ones before ever processing them
+        # (loop_detection_node.cc:211,242).
+        skip_t = self.cfg.loop.skip_loop_time
+        skip_d = self.cfg.loop.skip_loop_dis
         for p, (found, old_seq, rel_t, rel_q, refined) in zip(
                 self._pending, fetched):
             if not bool(found):
                 continue
+            pos = np.asarray(p["node_pose"].t)
+            if p["time"] - self.loop._last_loop_time < skip_t:
+                continue
+            if (self.loop._last_loop_pos is not None and skip_d > 0
+                    and np.linalg.norm(pos - self.loop._last_loop_pos)
+                    < skip_d):
+                continue
             self.n_loops += 1
             applied += 1
-            self.loop.note_loop(p["time"],
-                                np.asarray(p["node_pose"].t))
+            self.loop.note_loop(p["time"], pos)
             rel = Pose(jnp.asarray(rel_t), jnp.asarray(rel_q))
             self.graph = self._jit_add_loop(
                 self.graph, jnp.int32(int(old_seq)),
@@ -515,16 +536,17 @@ class SlamSystem:
                         else self.LOOP_W_PNP))
         self._pending = []
         if applied:
-            self.graph = self._opt_graph(self.graph)
-            # hard-reject loop edges that the optimum still contradicts by
-            # >0.5 m: the IRLS kernel already down-weights them, but a
-            # rejected edge must also stop counting as a closure and stop
-            # exerting its residual Geman-McClure pull (a verification
-            # false-accept, not a noisy measurement)
-            self.graph, n_bad = self._jit_drop_bad(self.graph,
-                                                   jnp.float32(0.5))
-            if int(n_bad):
+            with self.timer.stage("reap_opt"):
                 self.graph = self._opt_graph(self.graph)
+                # hard-reject loop edges that the optimum still contradicts
+                # by >0.5 m: the IRLS kernel already down-weights them, but
+                # a rejected edge must also stop counting as a closure and
+                # stop exerting its residual Geman-McClure pull (a
+                # verification false-accept, not a noisy measurement)
+                self.graph, n_bad = self._jit_drop_bad(self.graph,
+                                                       jnp.float32(0.5))
+                if int(n_bad):
+                    self.graph = self._opt_graph(self.graph)
             last = self._n_nodes - 1
             t_l, q_l = self._jit_graph_last(self.graph, jnp.int32(last))
             # correction = optimized-world from raw-estimator-world at the
@@ -593,10 +615,27 @@ class SlamSystem:
             state["graph"] = self.graph
         if self.mapper is not None:
             state["map"] = self.mapper.map
-        save_state(path, state)
+        # variable-length host-side history (extras bypass the template
+        # shape check): the per-node raw camera poses are what _reap_loops
+        # re-anchors the drift correction through and what
+        # final_trajectory segments the past with — resuming without them
+        # crashed on the first post-load closure
+        extra = {}
+        if self._raw_poses:
+            extra["raw_t"] = np.stack(
+                [np.asarray(p.t) for p in self._raw_poses])
+            extra["raw_q"] = np.stack(
+                [np.asarray(p.q) for p in self._raw_poses])
+        if self.loop is not None and self._node_frames:
+            extra["node_frames"] = np.asarray(self._node_frames, np.int64)
+            extra["node_raw_t"] = np.stack(
+                [np.asarray(p.t) for p in self._node_raw_cam])
+            extra["node_raw_q"] = np.stack(
+                [np.asarray(p.q) for p in self._node_raw_cam])
+        save_state(path, state, extra=extra)
 
     def load_checkpoint(self, path: str) -> None:
-        from lmono_tpu.utils.checkpoint import load_state
+        from lmono_tpu.utils.checkpoint import load_extras, load_state
 
         template = {
             "lidar": self.lidar.state,
@@ -617,11 +656,16 @@ class SlamSystem:
             try:
                 state = load_state(path, template)
                 break
-            except ValueError:
+            except ValueError as e:
                 # the saved pose graph may have grown beyond this fresh
                 # system's capacity — grow and retry (capacities are
-                # powers of two, so this converges in a few doublings)
-                if (self.loop is None
+                # powers of two, so this converges in a few doublings).
+                # Only when EVERY mismatched leaf is a graph entry: an
+                # unrelated shape mismatch (old DB layout, different vocab
+                # dim) must surface immediately, not after futile growth.
+                lines = str(e).split(": ", 1)[-1].split("; ")
+                graph_only = all("'graph'" in m for m in lines)
+                if (self.loop is None or not graph_only
                         or self._graph_cap >= self.cfg.loop.db_capacity):
                     raise
                 self._grow_graph()
@@ -640,3 +684,18 @@ class SlamSystem:
             self.graph = state["graph"]
         if self.mapper is not None:
             self.mapper.map = state["map"]
+        # restore variable-length history so post-resume closures re-anchor
+        # correctly and final_trajectory spans the whole run
+        extras = load_extras(path)
+        self._raw_poses = (
+            [Pose(jnp.asarray(t), jnp.asarray(q)) for t, q in
+             zip(extras["raw_t"], extras["raw_q"])]
+            if "raw_t" in extras else [])
+        if "node_frames" in extras:
+            self._node_frames = [int(f) for f in extras["node_frames"]]
+            self._node_raw_cam = [
+                Pose(jnp.asarray(t), jnp.asarray(q)) for t, q in
+                zip(extras["node_raw_t"], extras["node_raw_q"])]
+        else:
+            self._node_frames = []
+            self._node_raw_cam = []

@@ -5,10 +5,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from lmono_tpu.camera.calibration import (
+    calibrate_camera,
     calibrate_pinhole,
     find_chessboard_corners,
 )
-from lmono_tpu.camera.models import _radtan_distort
+from lmono_tpu.camera.models import (
+    _radtan_distort,
+    equidistant_camera,
+    mei_camera,
+)
 from lmono_tpu.utils.lie import Pose, so3_exp_quat
 
 
@@ -54,6 +59,66 @@ def test_calibration_with_pixel_noise():
     res = calibrate_pinhole(obj, views, iters=25)
     assert abs(res.fx - 500.0) < 5.0
     assert res.reproj_rmse < 0.5
+
+
+def _synth_model_views(cam, n_views=8, rows=6, cols=9, sq=0.05, seed=0,
+                       noise=0.1):
+    """Project a planar board through an arbitrary camera model."""
+    obj = np.stack(np.meshgrid(np.arange(cols), np.arange(rows)),
+                   -1).reshape(-1, 2).astype(np.float32) * sq
+    obj3 = jnp.concatenate([jnp.asarray(obj),
+                            jnp.zeros((len(obj), 1), jnp.float32)], -1)
+    rng = np.random.RandomState(seed)
+    views = []
+    for _ in range(n_views):
+        rot = so3_exp_quat(jnp.asarray(rng.uniform(-0.35, 0.35, 3),
+                                       jnp.float32))
+        t = jnp.asarray([rng.uniform(-0.1, 0.1) - cols * sq / 2,
+                         rng.uniform(-0.1, 0.1) - rows * sq / 2,
+                         rng.uniform(0.5, 0.9)], jnp.float32)
+        uv = cam.space_to_plane(Pose(t, rot).apply(obj3))
+        views.append(np.asarray(uv))
+    img = np.stack(views)
+    return obj, img + rng.normal(0, noise, img.shape)
+
+
+def test_calibrate_mei():
+    """MEI rig recovered to sub-pixel RMSE (reference: the MEI branch of
+    `CostFunctionFactory.cc` + `CataCamera::estimateIntrinsics`).  The
+    (xi, gamma) pair is only weakly observable from board-FoV views — the
+    acceptance metric is reprojection, as for the reference's calibrator."""
+    cam = mei_camera(640, 480, gamma1=410.0, gamma2=405.0, u0=325.0,
+                     v0=245.0, xi=0.9, k1=-0.1, k2=0.02)
+    obj, img = _synth_model_views(cam, seed=1)
+    res = calibrate_camera("mei", obj, img, image_size=(640, 480))
+    assert res.reproj_rmse < 0.5, res.reproj_rmse
+    assert abs(res.params["u0"] - 325.0) < 5.0, res.params
+    assert abs(res.params["v0"] - 245.0) < 5.0, res.params
+
+
+def test_calibrate_equidistant():
+    """Kannala–Brandt fisheye recovered (reference: KANNALA_BRANDT branch
+    of `CostFunctionFactory.cc`, `EquidistantCamera.cc`)."""
+    cam = equidistant_camera(640, 480, mu=300.0, mv=298.0, u0=322.0,
+                             v0=242.0, k2=0.01, k3=-0.002)
+    obj, img = _synth_model_views(cam, seed=3)
+    res = calibrate_camera("equidistant", obj, img, image_size=(640, 480))
+    assert res.reproj_rmse < 0.5, res.reproj_rmse
+    # the θ-polynomial absorbs small focal deltas over board-FoV views
+    # (k's trade off against μ) — allow ~2% on focals, keep c tight
+    assert abs(res.params["mu"] - 300.0) < 6.0, res.params
+    assert abs(res.params["mv"] - 298.0) < 6.0, res.params
+    assert abs(res.params["u0"] - 322.0) < 3.0, res.params
+    assert abs(res.params["v0"] - 242.0) < 3.0, res.params
+
+
+def test_calibrate_camera_pinhole_matches_zhang():
+    """The generic sweep path agrees with the Zhang-initialized pinhole
+    calibrator on the same views."""
+    obj, views = synth_views()
+    res = calibrate_camera("pinhole", obj, views, image_size=(640, 480))
+    assert res.reproj_rmse < 0.1, res.reproj_rmse
+    assert abs(res.params["fx"] - 500.0) < 2.0, res.params
 
 
 def test_chessboard_detection():

@@ -101,3 +101,26 @@ def test_odometry_end_to_end():
     # align=False: odometry starts at the true pose (first frame anchored)
     err = ate_rmse(est_traj, gt, align=True)
     assert err < 0.10, f"odometry ATE {err} m"
+
+
+def test_map_update_every_skips_inserts():
+    """`map_update_every > 1` freezes the banks on off-cadence frames
+    (after the 10-frame bootstrap) and keeps odometry running."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG.lidar, map_update_every=3)
+    traj = syn.circuit_trajectory(16)
+    odo = LidarOdometry(cfg)
+    masks = []
+    for i in range(14):
+        pose_i = Pose(traj.t[i], traj.q[i])
+        scan = make_scan(pose_i, noise=0.01, key=jax.random.PRNGKey(i))
+        odo.process(jax.device_get(scan))
+        masks.append(np.asarray(odo.state.edge_map.mask).sum())
+    # frames 0-9 bootstrap (insert every frame); from there only frames
+    # with frame % 3 == 0 insert: frame 10 and 11 must not change the bank
+    assert masks[10] == masks[9], masks
+    assert masks[11] == masks[10], masks
+    # frame 12 inserts again
+    assert masks[12] >= masks[11], masks
+    assert masks[9] > 0

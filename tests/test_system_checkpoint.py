@@ -1,5 +1,6 @@
 """System-level checkpoint/resume + deterministic replay tests."""
 
+import dataclasses
 import os
 
 import jax
@@ -53,6 +54,66 @@ def test_checkpoint_resume_continues_identically(tmp_path):
         d = float(np.linalg.norm(np.asarray(oa["pose"].t)
                                  - np.asarray(oc["pose"].t)))
         assert d < 2e-2, d
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_with_loops_applies_closure(tmp_path):
+    """Resume with the loop lane enabled, then apply a closure: the per-node
+    history (_node_frames/_node_raw_cam) must be restored from the
+    checkpoint — before the fix the first post-load closure raised
+    IndexError on self._node_raw_cam[last]."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    cfg = synthetic_config()
+    cfg = cfg.replace(loop=dataclasses.replace(
+        cfg.loop, skip_time=0.0, skip_dis=0.0))
+    T_CL = syn.synthetic_T_CL()
+    cfg = cfg.replace(laser_to_camera=tuple(
+        np.asarray(T_CL.to_mat4()).reshape(-1).tolist()))
+    frames = _make_inputs(16, cfg, T_CL)
+
+    sys_a = SlamSystem(cfg, enable_loop=True, enable_mapping=False)
+    for s, i in frames:
+        sys_a.process(s, i)
+    assert sys_a._n_nodes >= 2, "need pose-graph nodes for the test"
+    ckpt = os.path.join(tmp_path, "state.npz")
+    sys_a.save_checkpoint(ckpt)
+
+    sys_b = SlamSystem(cfg, enable_loop=True, enable_mapping=False)
+    sys_b.load_checkpoint(ckpt)
+    assert len(sys_b._node_raw_cam) == sys_b._n_nodes
+    assert sys_b._node_frames == sys_a._node_frames
+    assert len(sys_b._raw_poses) == len(frames)
+
+    # manufacture a found detection between node 0 and the newest node and
+    # reap it — exercises the exact path that crashed after resume
+    last = sys_b._n_nodes - 1
+    rel = sys_b._node_raw_cam[0].inverse().compose(
+        sys_b._node_raw_cam[last])
+    res = SimpleNamespace(
+        found=jnp.asarray(True), old_seq=jnp.asarray(0, jnp.int32),
+        rel_t=rel.t, rel_q=rel.q, refined=jnp.asarray(False))
+    sys_b._pending.append({"res": res, "node_idx": last,
+                           "node_pose": sys_b._node_raw_cam[last],
+                           "time": sys_b.frame_idx * 0.1})
+    applied = sys_b._reap_loops()
+    assert applied == 1
+    # full-trajectory export spans pre-resume history too
+    traj = sys_b.final_trajectory()
+    assert np.asarray(traj.t).shape[0] == len(frames)
+
+
+def test_load_state_mismatch_names_leaf(tmp_path):
+    """Shape-mismatch errors name the offending key path so callers can
+    distinguish a grown pose graph from an incompatible checkpoint."""
+    from lmono_tpu.utils.checkpoint import load_state, save_state
+
+    path = os.path.join(tmp_path, "s.npz")
+    save_state(path, {"a": np.zeros((3,)), "b": np.zeros((2, 2))})
+    with pytest.raises(ValueError, match=r"'b'"):
+        load_state(path, {"a": np.zeros((3,)), "b": np.zeros((4, 2))})
 
 
 @pytest.mark.slow
