@@ -178,7 +178,8 @@ class LoopConfig:
     pnp_reproj_px: float = 10.0
     angle_threshold_deg: float = 30.0 # geometric gate (ANGLE_THRESHOLD)
     trans_threshold: float = 20.0     # geometric gate (TRANS_THRESHOLD, m)
-    skip_time: float = 0.2            # SKIP_TIME between processed keyframes
+    skip_time: float = 0.5            # SKIP_TIME between processed keyframes
+                                      # (kitti_loop_config_00.yaml: 0.5)
     skip_dis: float = 0.5             # SKIP_DIS min travel between keyframes
     skip_loop_time: float = 0.0       # SKIP_LOOP_TIME: suppress processing
                                       # this long after an accepted loop
@@ -348,7 +349,13 @@ def kitti_scale_config() -> SystemConfig:
     HDL-64E per `README.md:50-60`)."""
     return SystemConfig(
         lidar=LidarConfig(num_rings=64, horiz_res=2048, max_range=120.0,
-                          map_keep_radius=150.0),
+                          map_keep_radius=150.0,
+                          # 3 re-associations: measured on-chip at these
+                          # shapes (300-frame circuit, r5): 8 iters = 9.8
+                          # fps / 0.87% drift, 6 iters = 11.6 fps / 0.44%
+                          # — the KNN is ~12 ms/frame of the 70 ms budget
+                          # and the 4th re-association buys no accuracy
+                          scan_to_map_iters=6),
         camera=CameraConfig(),            # 1241×376, KITTI-00 intrinsics
         tracker=TrackerConfig(max_features=150),
         estimator=EstimatorConfig(max_tracks=160),

@@ -40,6 +40,127 @@ class LoopResult(NamedTuple):
     refine_inliers: jax.Array  # () int32
 
 
+class CandidateRows(NamedTuple):
+    """DB rows of the top-k place-recognition candidates (leading axis k).
+
+    Exists so the verification stage is DB-layout-agnostic: the local
+    detector gathers rows by slot index, the kf-sharded detector
+    (`parallel/dist_loop.py`) assembles the same rows with a masked psum
+    across shards — verification code is shared."""
+    desc: jax.Array        # (k, K, B)
+    kp_norm: jax.Array     # (k, K, 2)
+    kp_mask: jax.Array     # (k, K)
+    t: jax.Array           # (k, 3)
+    q: jax.Array           # (k, 4)
+    seq: jax.Array         # (k,)
+    lidar_edge: jax.Array        # (k, Ke, 3)
+    lidar_edge_mask: jax.Array   # (k, Ke)
+    lidar_planar: jax.Array      # (k, Kp, 3)
+    lidar_planar_mask: jax.Array # (k, Kp)
+
+
+def gather_rows(db: KeyframeDB, slots: jax.Array) -> CandidateRows:
+    """Local-path row fetch (plain indexing)."""
+    return CandidateRows(
+        desc=db.desc[slots], kp_norm=db.kp_norm[slots],
+        kp_mask=db.kp_mask[slots], t=db.t[slots], q=db.q[slots],
+        seq=db.seq[slots],
+        lidar_edge=db.lidar_edge[slots],
+        lidar_edge_mask=db.lidar_edge_mask[slots],
+        lidar_planar=db.lidar_planar[slots],
+        lidar_planar_mask=db.lidar_planar_mask[slots])
+
+
+def verify_candidates(rows: CandidateRows, top_s, top_i, gate,
+                      cfg: LoopConfig, *,
+                      win_desc, win_pts, win_norm, win_mask,
+                      cur_pose: Pose, key: jax.Array, win_pnp_mask,
+                      lidar=None) -> LoopResult:
+    """Geometric verification of the gated candidates (BRIEF match →
+    PnP-RANSAC → angle/trans gate → optional LiDAR GN refinement of the
+    picked closure).  All candidate data comes in as explicit row arrays."""
+    keys = jax.random.split(key, top_s.shape[0])
+
+    def verify(row_desc, row_kp_mask, row_kp_norm, row_t, row_q, k_i):
+        # BRIEF matching: current window landmarks ↔ old keyframe keypoints
+        idx_b, m_ok = match_descriptors(
+            win_desc, win_mask, row_desc, row_kp_mask,
+            max_hamming=cfg.hamming_max)
+        n_matches = jnp.sum(m_ok)
+        # PnP: current 3D world points vs old keyframe's 2D normalized obs
+        obs_old = row_kp_norm[idx_b]                     # (Kw, 2)
+        # free hypothesis: at a true revisit the drift is small, so the OLD
+        # keyframe's own camera-from-world is nearly the PnP answer already
+        prior = Pose(row_t, row_q).inverse()
+        pose_pnp, inl, pnp_ok = ransac_pnp(
+            win_pts, obs_old, m_ok & win_pnp_mask, k_i,
+            iters=cfg.pnp_ransac_iters,
+            thresh=(cfg.pnp_reproj_px / 460.0) ** 2,
+            min_inliers=cfg.min_pnp_inliers,
+            prior_pose=prior)
+        n_inl = jnp.sum(inl)
+        # pose_pnp: oldcam-from-world ⇒ T_old_cur = pose_pnp ∘ T_w_cur
+        rel_k = Pose(pose_pnp.apply(cur_pose.t),
+                     Pose(pose_pnp.t, pose_pnp.q).compose(cur_pose).q)
+        # geometric gate on the revisit distance: |Δyaw| < ANGLE_THRESHOLD,
+        # |Δt| < TRANS_THRESHOLD (KeyFrame.cc:588)
+        ypr = mat_to_ypr(quat_to_mat(rel_k.q))
+        ang_ok = jnp.abs(jnp.rad2deg(ypr[0])) < cfg.angle_threshold_deg
+        trans_ok = jnp.linalg.norm(rel_k.t) < cfg.trans_threshold
+        ok_k = ((n_matches >= cfg.min_brief_matches) & pnp_ok
+                & ang_ok & trans_ok)
+        return ok_k, rel_k, n_matches, n_inl
+
+    ok_k, rels, nm_k, ni_k = jax.vmap(verify)(
+        rows.desc, rows.kp_mask, rows.kp_norm, rows.t, rows.q, keys)
+    ok_k = ok_k & gate
+    # earliest verified candidate (smallest global seq), reference-style
+    seqs = jnp.where(ok_k, rows.seq, jnp.iinfo(jnp.int32).max)
+    pick = jnp.argmin(seqs)
+    old_slot = top_i[pick]
+    rel = Pose(rels.t[pick], rels.q[pick])
+    n_matches = nm_k[pick]
+    n_inliers = ni_k[pick]
+    found = jnp.any(ok_k)
+
+    # ---- LiDAR refinement of the loop relative pose: register the two
+    # keyframes' edge/planar feature sets (point-to-line/plane GN) starting
+    # from the PnP estimate — centimeter-grade closure instead of PnP-grade
+    refined_flag = jnp.zeros((), bool)
+    refine_inl = jnp.zeros((), jnp.int32)
+    if lidar is not None:
+        from lmono_tpu.lidar.registration import register
+
+        cur_edge, cur_edge_mask, cur_planar, cur_planar_mask, T_CL = lidar[:5]
+        lidar_cfg = lidar[5]
+        T_LC = T_CL.inverse()
+        rel_laser = T_LC.compose(rel).compose(T_CL)
+        refined_laser, diag = register(
+            rel_laser,
+            cur_edge, cur_edge_mask, cur_planar, cur_planar_mask,
+            rows.lidar_edge[pick], rows.lidar_edge_mask[pick],
+            rows.lidar_planar[pick], rows.lidar_planar_mask[pick],
+            lidar_cfg, cfg.refine_iters)
+        refine_inl = diag["inliers"][-1].astype(jnp.int32)
+        accept = found & (refine_inl >= cfg.refine_min_inliers)
+        rel_ref = T_CL.compose(refined_laser).compose(T_LC)
+        rel = Pose(jnp.where(accept, rel_ref.t, rel.t),
+                   jnp.where(accept, rel_ref.q, rel.q))
+        refined_flag = accept
+
+    return LoopResult(
+        found=found,
+        old_slot=old_slot.astype(jnp.int32),
+        old_seq=rows.seq[pick],
+        rel_t=rel.t, rel_q=rel.q,
+        n_matches=n_matches.astype(jnp.int32),
+        n_inliers=n_inliers.astype(jnp.int32),
+        score=top_s[pick],
+        refined=refined_flag,
+        refine_inliers=refine_inl,
+    )
+
+
 def detect_and_verify(db: KeyframeDB, codebook: jax.Array, cfg: LoopConfig,
                       *, desc, kp_mask, win_desc, win_pts, win_norm, win_mask,
                       cur_pose: Pose, cur_seq, cur_time,
@@ -64,85 +185,12 @@ def detect_and_verify(db: KeyframeDB, codebook: jax.Array, cfg: LoopConfig,
     # admitting false loops, and the batched PnP/matching is near-free on
     # the MXU.
     gate = top_ok & (top_s > cfg.score_accept) & (top_s[0] > cfg.score_best_min)
-    keys = jax.random.split(key, top_i.shape[0])
-
-    def verify(old_slot, k_i):
-        # BRIEF matching: current window landmarks ↔ old keyframe keypoints
-        idx_b, m_ok = match_descriptors(
-            win_desc, win_mask, db.desc[old_slot], db.kp_mask[old_slot],
-            max_hamming=cfg.hamming_max)
-        n_matches = jnp.sum(m_ok)
-        # PnP: current 3D world points vs old keyframe's 2D normalized obs
-        obs_old = db.kp_norm[old_slot][idx_b]            # (Kw, 2)
-        # free hypothesis: at a true revisit the drift is small, so the OLD
-        # keyframe's own camera-from-world is nearly the PnP answer already
-        prior = Pose(db.t[old_slot], db.q[old_slot]).inverse()
-        pose_pnp, inl, pnp_ok = ransac_pnp(
-            win_pts, obs_old, m_ok & win_pnp_mask, k_i,
-            iters=cfg.pnp_ransac_iters,
-            thresh=(cfg.pnp_reproj_px / 460.0) ** 2,
-            min_inliers=cfg.min_pnp_inliers,
-            prior_pose=prior)
-        n_inl = jnp.sum(inl)
-        # pose_pnp: oldcam-from-world ⇒ T_old_cur = pose_pnp ∘ T_w_cur
-        rel_k = Pose(pose_pnp.apply(cur_pose.t),
-                     Pose(pose_pnp.t, pose_pnp.q).compose(cur_pose).q)
-        # geometric gate on the revisit distance: |Δyaw| < ANGLE_THRESHOLD,
-        # |Δt| < TRANS_THRESHOLD (KeyFrame.cc:588)
-        ypr = mat_to_ypr(quat_to_mat(rel_k.q))
-        ang_ok = jnp.abs(jnp.rad2deg(ypr[0])) < cfg.angle_threshold_deg
-        trans_ok = jnp.linalg.norm(rel_k.t) < cfg.trans_threshold
-        ok_k = ((n_matches >= cfg.min_brief_matches) & pnp_ok
-                & ang_ok & trans_ok)
-        return ok_k, rel_k, n_matches, n_inl
-
-    ok_k, rels, nm_k, ni_k = jax.vmap(verify)(top_i, keys)
-    ok_k = ok_k & gate
-    # earliest verified candidate (smallest global seq), reference-style
-    seqs = jnp.where(ok_k, db.seq[top_i], jnp.iinfo(jnp.int32).max)
-    pick = jnp.argmin(seqs)
-    old_slot = top_i[pick]
-    rel = Pose(rels.t[pick], rels.q[pick])
-    n_matches = nm_k[pick]
-    n_inliers = ni_k[pick]
-    found = jnp.any(ok_k)
-
-    # ---- LiDAR refinement of the loop relative pose: register the two
-    # keyframes' edge/planar feature sets (point-to-line/plane GN) starting
-    # from the PnP estimate — centimeter-grade closure instead of PnP-grade
-    refined_flag = jnp.zeros((), bool)
-    refine_inl = jnp.zeros((), jnp.int32)
-    if lidar is not None:
-        from lmono_tpu.lidar.registration import register
-
-        cur_edge, cur_edge_mask, cur_planar, cur_planar_mask, T_CL = lidar[:5]
-        lidar_cfg = lidar[5]
-        T_LC = T_CL.inverse()
-        rel_laser = T_LC.compose(rel).compose(T_CL)
-        refined_laser, diag = register(
-            rel_laser,
-            cur_edge, cur_edge_mask, cur_planar, cur_planar_mask,
-            db.lidar_edge[old_slot], db.lidar_edge_mask[old_slot],
-            db.lidar_planar[old_slot], db.lidar_planar_mask[old_slot],
-            lidar_cfg, cfg.refine_iters)
-        refine_inl = diag["inliers"][-1].astype(jnp.int32)
-        accept = found & (refine_inl >= cfg.refine_min_inliers)
-        rel_ref = T_CL.compose(refined_laser).compose(T_LC)
-        rel = Pose(jnp.where(accept, rel_ref.t, rel.t),
-                   jnp.where(accept, rel_ref.q, rel.q))
-        refined_flag = accept
-
-    return LoopResult(
-        found=found,
-        old_slot=old_slot.astype(jnp.int32),
-        old_seq=db.seq[old_slot],
-        rel_t=rel.t, rel_q=rel.q,
-        n_matches=n_matches.astype(jnp.int32),
-        n_inliers=n_inliers.astype(jnp.int32),
-        score=top_s[pick],
-        refined=refined_flag,
-        refine_inliers=refine_inl,
-    )
+    rows = gather_rows(db, top_i)
+    return verify_candidates(
+        rows, top_s, top_i, gate, cfg,
+        win_desc=win_desc, win_pts=win_pts, win_norm=win_norm,
+        win_mask=win_mask, cur_pose=cur_pose, key=key,
+        win_pnp_mask=win_pnp_mask, lidar=lidar)
 
 
 class LoopDetector:
@@ -184,6 +232,7 @@ class LoopDetector:
             wdesc = brief_describe(image, win_uv, win_mask)
             return kp_uv, kp_ok, desc, wdesc
 
+        self._prep_fn = prep          # raw fn (reused by dist_loop)
         self._prep = jax.jit(prep)
 
         # fused single-dispatch path: prep + detect + add in one jit call

@@ -246,6 +246,12 @@ def _residuals6(x: jax.Array, g: PoseGraph, q0: jax.Array,
         r_loop_t.reshape(-1), r_loop_r.reshape(-1), r_fix])
 
 
+# GN early exit: converged once the normal-equation gradient ∞-norm
+# drops below this (meters-grade residual scale; a reap with no new
+# meter-scale closure converges in 1-2 GN steps past the GNC window)
+_GN_GRAD_TOL = 1e-4
+
+
 def optimize_posegraph(g: PoseGraph, iters: int = 10,
                        cg_iters: int = 50,
                        four_dof: bool = True) -> PoseGraph:
@@ -255,13 +261,20 @@ def optimize_posegraph(g: PoseGraph, iters: int = 10,
     function — O(edges) per CG step, no materialized Jacobian.
     `four_dof=True` optimizes (t, yaw) per node (VINS-style, pitch/roll
     gravity-pinned); `four_dof=False` optimizes full SE(3).
+
+    Both loops early-exit (`lax.while_loop`): CG stops at 1e-3 relative
+    residual, GN stops when the gradient ∞-norm clears _GN_GRAD_TOL after
+    the GNC annealing window — per-reap wall drops ~5x on an already-
+    converged graph (the common case: one new closure per reap) while a
+    fresh meter-scale correction still gets the full budget.
     """
     if not four_dof:
         return _optimize_posegraph6(g, iters, cg_iters)
     N = g.t.shape[0]
     x0 = jnp.concatenate([g.t, g.ypr[:, :1]], axis=-1)    # (N,4)
 
-    def gn_step(x, it):
+    def gn_body(carry):
+        x, it, _ = carry
         f = lambda xx: _residuals(xx, g, _gnc_c(it))
         r = f(x)
         _, vjp = jax.vjp(f, x)
@@ -274,9 +287,17 @@ def optimize_posegraph(g: PoseGraph, iters: int = 10,
 
         dx = _cg(Hv, -grad, cg_iters)
         mask = g.node_mask[:, None]
-        return x + jnp.where(mask, dx, 0.0), jnp.sum(r * r)
+        gnorm = jnp.max(jnp.abs(jnp.where(mask, grad, 0.0)))
+        return x + jnp.where(mask, dx, 0.0), it + 1, gnorm
 
-    x, costs = jax.lax.scan(gn_step, x0, jnp.arange(iters))
+    def gn_cond(carry):
+        _, it, gnorm = carry
+        # never exit inside the GNC annealing window: the kernel scale is
+        # still widening its basin and the gradient can be transiently tiny
+        return (it < iters) & ((it <= GNC_STEPS) | (gnorm > _GN_GRAD_TOL))
+
+    x, _, _ = jax.lax.while_loop(
+        gn_cond, gn_body, (x0, jnp.zeros((), jnp.int32), jnp.float32(1e9)))
     new_ypr = jnp.stack([x[:, 3], g.ypr[:, 1], g.ypr[:, 2]], -1)
     return g._replace(t=x[:, :3], ypr=new_ypr)
 
@@ -292,8 +313,8 @@ def _optimize_posegraph6(g: PoseGraph, iters: int, cg_iters: int
     q0_init = mat_to_quat(ypr_to_mat(g.ypr))              # (N,4)
     x0 = jnp.concatenate([g.t, jnp.zeros((N, 3), g.t.dtype)], axis=-1)
 
-    def gn_step(carry, it):
-        x, q0 = carry
+    def gn_body(carry):
+        x, q0, it, _ = carry
         f = lambda xx: _residuals6(xx, g, q0, _gnc_c(it))
         r = f(x)
         _, vjp = jax.vjp(f, x)
@@ -310,21 +331,28 @@ def _optimize_posegraph6(g: PoseGraph, iters: int, cg_iters: int
         # re-center: fold the rotation tangent into q0
         q0 = quat_mul(q0, so3_exp_quat(x[:, 3:]))
         x = x.at[:, 3:].set(0.0)
-        return (x, q0), jnp.sum(r * r)
+        gnorm = jnp.max(jnp.abs(jnp.where(mask, grad, 0.0)))
+        return x, q0, it + 1, gnorm
 
-    (x, q0), _ = jax.lax.scan(gn_step, (x0, q0_init), jnp.arange(iters))
+    def gn_cond(carry):
+        _, _, it, gnorm = carry
+        return (it < iters) & ((it <= GNC_STEPS) | (gnorm > _GN_GRAD_TOL))
+
+    x, q0, _, _ = jax.lax.while_loop(
+        gn_cond, gn_body,
+        (x0, q0_init, jnp.zeros((), jnp.int32), jnp.float32(1e9)))
     return g._replace(t=x[:, :3], ypr=mat_to_ypr(quat_to_mat(q0)))
 
 
-def _cg(Av, b, iters: int):
-    """Standard conjugate gradient for SPD Av."""
+def _cg(Av, b, iters: int, rtol: float = 1e-3):
+    """Conjugate gradient for SPD Av with relative-residual early exit."""
     x = jnp.zeros_like(b)
     r = b
     p = r
-    rs = jnp.sum(r * r)
+    rs0 = jnp.sum(r * r)
 
-    def body(carry, _):
-        x, r, p, rs = carry
+    def body(carry):
+        x, r, p, rs, it = carry
         Ap = Av(p)
         alpha = rs / jnp.maximum(jnp.sum(p * Ap), 1e-12)
         x = x + alpha * p
@@ -332,9 +360,14 @@ def _cg(Av, b, iters: int):
         rs_new = jnp.sum(r * r)
         beta = rs_new / jnp.maximum(rs, 1e-12)
         p = r + beta * p
-        return (x, r, p, rs_new), None
+        return x, r, p, rs_new, it + 1
 
-    (x, _, _, _), _ = jax.lax.scan(body, (x, r, p, rs), None, length=iters)
+    def cond(carry):
+        _, _, _, rs, it = carry
+        return (it < iters) & (rs > rtol * rtol * rs0)
+
+    x, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (x, r, p, rs0, jnp.zeros((), jnp.int32)))
     return x
 
 

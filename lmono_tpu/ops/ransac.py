@@ -26,12 +26,14 @@ def _eight_point(x0: jax.Array, x1: jax.Array) -> jax.Array:
     u1, v1 = x1[:, 0], x1[:, 1]
     A = jnp.stack([u1 * u0, u1 * v0, u1, v1 * u0, v1 * v0, v1, u0, v0,
                    jnp.ones_like(u0)], axis=-1)      # (8,9)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    F = Vt[-1].reshape(3, 3)
-    # rank-2 projection
-    U, S, Vt2 = jnp.linalg.svd(F)
-    S = S.at[2].set(0.0)
-    return (U * S[None, :]) @ Vt2
+    # nullspace via unrolled Householder QR (no LAPACK custom call — see
+    # the small-linalg section below); rank-2 projection = remove the
+    # smallest right-singular component:  F(I − nnᵀ) with n = argmin ‖F n‖
+    # (power iteration is fine HERE: an exact-8-point F is near rank-2, so
+    # the spectral gap at the bottom is wide)
+    F = _qr_nullvec(A).reshape(3, 3)
+    n = _nullvec(F, iters=24)
+    return F - jnp.outer(F @ n, n)
 
 
 def _sampson(F: jax.Array, x0: jax.Array, x1: jax.Array) -> jax.Array:
@@ -76,6 +78,147 @@ def ransac_fundamental(x0: jax.Array, x1: jax.Array, mask: jax.Array,
 
 
 # --------------------------------------------------------------------------
+# Hand-rolled small linear algebra (TPU-fast)
+#
+# jnp.linalg.{svd,solve,cholesky} on small batched matrices lower to
+# LAPACK-style custom calls that run OFF the vector units — profiled on
+# the v5e they were the loop lane's top cost (SVD/LU/Cholesky custom
+# calls ≈ 35 ms of the 76 ms per-keyframe detection program).  The
+# replacements below are unrolled elementwise programs (Cholesky 6×6,
+# power-iteration nullspace, Newton polar decomposition) that fuse into
+# the surrounding vmapped RANSAC math.
+# --------------------------------------------------------------------------
+
+
+def _chol_solve6(H: jax.Array, g: jax.Array) -> jax.Array:
+    """Solve H x = g for SPD H (..., 6, 6) via unrolled Cholesky."""
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = H[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+            else:
+                L[i][j] = s / L[j][j]
+    y = [None] * n
+    for i in range(n):
+        s = g[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
+def _nullvec(A: jax.Array, iters: int = 48) -> jax.Array:
+    """Unit vector minimizing ‖A v‖ when the spectral GAP is healthy (e.g.
+    projecting a near-rank-2 3×3 F): power iteration on  M = c·I − AᵀA
+    with c = tr(AᵀA) ≥ λmax.  For systems with an exact nullspace and
+    clustered remaining spectrum (the DLT designs), use `_qr_nullvec` —
+    power iteration stalls there (rate 1 − λ₂/c)."""
+    AtA = jnp.einsum("...ji,...jk->...ik", A, A)
+    n = AtA.shape[-1]
+    c = jnp.trace(AtA, axis1=-2, axis2=-1)[..., None, None]
+    M = c * jnp.eye(n, dtype=A.dtype) - AtA
+    # deterministic full-spectrum init (no zero component in any basis dir)
+    v = jnp.ones(AtA.shape[:-2] + (n,), A.dtype) \
+        + 0.1 * jnp.arange(n, dtype=A.dtype)
+    for _ in range(iters):
+        v = jnp.einsum("...ij,...j->...i", M, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True),
+                            1e-12)
+    return v
+
+
+def _qr_nullvec(A: jax.Array) -> jax.Array:
+    """Nullspace vector of A (..., m, n) with m ∈ {n−1, n} and nullity 1
+    (the minimal-sample DLT systems): unrolled Householder QR — pure
+    broadcast arithmetic, no LAPACK custom call — then back-substitution
+    with the last variable free.  Returns a unit (..., n) vector."""
+    m, n = A.shape[-2], A.shape[-1]
+    R = A
+    r = min(m, n - 1)              # columns to eliminate
+    for k in range(r):
+        col = R[..., k:, k]                              # (..., m-k)
+        nrm = jnp.sqrt(jnp.sum(col * col, axis=-1, keepdims=True))
+        s = jnp.where(col[..., :1] >= 0, 1.0, -1.0)
+        v = col + s * nrm * jnp.eye(m - k, dtype=A.dtype)[0]
+        vn2 = jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-30)
+        sub = R[..., k:, :]                              # (..., m-k, n)
+        proj = jnp.einsum("...i,...ij->...j", v, sub)    # (..., n)
+        sub = sub - (2.0 / vn2)[..., None] * v[..., :, None] \
+            * proj[..., None, :]
+        R = jnp.concatenate([R[..., :k, :], sub], axis=-2)
+    # back-substitution: x[n-1] = 1, solve the r×r upper block
+    x = [None] * n
+    for j in range(r, n):
+        x[j] = jnp.ones(A.shape[:-2], A.dtype)
+    for i in reversed(range(r)):
+        s = jnp.zeros(A.shape[:-2], A.dtype)
+        for j2 in range(i + 1, n):
+            s = s + R[..., i, j2] * x[j2]
+        d = R[..., i, i]
+        d = jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12),
+                      d)
+        x[i] = -s / d
+    v = jnp.stack(x, axis=-1)
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True),
+                           1e-12)
+
+
+def _det3(M: jax.Array) -> jax.Array:
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
+def _inv3(M: jax.Array) -> jax.Array:
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    adj = jnp.stack([
+        jnp.stack([A, B, C], -1),
+        jnp.stack([D, E, F], -1),
+        jnp.stack([G, H, I], -1)], -2)
+    return adj / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)[..., None, None]
+
+
+def _polar3(M: jax.Array, iters: int = 9) -> tuple[jax.Array, jax.Array]:
+    """Nearest rotation (polar factor) of 3×3 M with det(R) = +1, plus the
+    mean singular value (the DLT scale).  Newton iteration
+    R ← (R + R⁻ᵀ)/2 converges quadratically to the orthogonal factor."""
+    sgn = jnp.sign(_det3(M))
+    sgn = jnp.where(sgn == 0, 1.0, sgn)
+    Ms = M * sgn[..., None, None]
+    # scale to unit Frobenius-ish norm for a well-conditioned start
+    nrm = jnp.sqrt(jnp.sum(Ms * Ms, axis=(-2, -1), keepdims=True) / 3.0)
+    R = Ms / jnp.maximum(nrm, 1e-12)
+    for _ in range(iters):
+        R = 0.5 * (R + jnp.swapaxes(_inv3(R), -1, -2))
+    scale = jnp.einsum("...ij,...ij->...", R, Ms) / 3.0
+    return R, scale
+
+
+# --------------------------------------------------------------------------
 # PnP (3D → normalized 2D) via DLT hypotheses + GN refinement
 # --------------------------------------------------------------------------
 
@@ -97,28 +240,25 @@ def _dlt_pnp(X: jax.Array, x: jax.Array) -> tuple[jax.Array, jax.Array]:
     r1 = jnp.concatenate([Xh, zeros, -x[:, 0:1] * Xh], axis=-1)
     r2 = jnp.concatenate([zeros, Xh, -x[:, 1:2] * Xh], axis=-1)
     A = jnp.concatenate([r1, r2], axis=0)                  # (12,12)
-    _, _, Vt = jnp.linalg.svd(A)
-    P = Vt[-1].reshape(3, 4)
+    # nullspace by unrolled QR + polar orthogonalization — NOT
+    # jnp.linalg.svd: LAPACK-style custom calls were the profiled top cost
+    # of the whole loop lane (see the small-linalg section above)
+    P = _qr_nullvec(A).reshape(3, 4)
     M = P[:, :3]
-    # orthogonalize: SVD-project M to a rotation, recover scale
-    U, S, Vt2 = jnp.linalg.svd(M)
-    det = jnp.linalg.det(U @ Vt2)
-    D = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(det)
-    R = U @ D @ Vt2
-    pscale = jnp.sum(S * jnp.diagonal(D)) / 3.0
+    R, pscale = _polar3(M)
     # t in normalized world coords, then undo the Hartley normalization:
     # project(R·(X-ctr)/s + tn) = project(R·X + (s·tn - R·ctr))
-    t_n = P[:, 3] / jnp.where(jnp.abs(pscale) < 1e-12, 1e-12, pscale)
+    # (_polar3 absorbed det sign into scale sign via M·sgn — recover it)
+    sgn = jnp.sign(_det3(M))
+    sgn = jnp.where(sgn == 0, 1.0, sgn)
+    t_n = sgn * P[:, 3] / jnp.where(jnp.abs(pscale) < 1e-12, 1e-12, pscale)
     t = scale * t_n - R @ ctr
-    # resolve sign so points land in front of the camera
-    z = (X @ R.T + t)[:, 2]
-    flip = jnp.sum(z > 0) < 3
-    R = jnp.where(flip, -R, R)
-    t = jnp.where(flip, -t, t)
-    # re-orthonormalize after potential flip (det must stay +1)
-    U3, _, Vt3 = jnp.linalg.svd(R)
-    det3 = jnp.linalg.det(U3 @ Vt3)
-    R = U3 @ jnp.diag(jnp.array([1.0, 1.0, 1.0]).at[2].set(det3)) @ Vt3
+    # Projective ± ambiguity of the nullspace vector is resolved above by
+    # canonicalizing det(M) > 0 (a true pose has P = s[R|t] with s > 0, so
+    # det(M) = s³ > 0).  Samples that still put the board behind the
+    # camera are geometrically degenerate hypotheses — they score zero
+    # inliers (behind-camera reprojections cost 1e9) and lose the vote,
+    # which replaces the old SVD-based flip salvage.
     return R, t
 
 
@@ -147,7 +287,7 @@ def _pnp_gn_refine(R, t, X, x, w, iters: int = 5):
         J = jax.jacfwd(lambda d: resid(d, pose))(jnp.zeros(6))
         r = resid(jnp.zeros(6), pose)
         H = J.T @ J + 1e-6 * jnp.eye(6)
-        delta = -jnp.linalg.solve(H, J.T @ r)
+        delta = -_chol_solve6(H, J.T @ r)   # unrolled SPD solve, no LAPACK
         ok = jnp.all(jnp.isfinite(delta))
         delta = jnp.where(ok, delta, 0.0)
         return pose.retract(delta), None

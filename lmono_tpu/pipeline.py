@@ -147,6 +147,16 @@ class SlamSystem:
                 self.mesh, iters=cfg.loop.posegraph_iters, cg_iters=50,
                 four_dof=cfg.loop.posegraph_4dof, axis="kf")
                 if enable_loop else None)
+            if enable_loop and pc.kf_shards > 1:
+                # shard the loop detector's keyframe DB over the kf axis
+                # (VERDICT r4 #5): score matmul + row storage partition by
+                # DB slot; verification stays replicated in-program
+                from lmono_tpu.parallel.dist_loop import (
+                    make_dist_process_fused, put_db_sharded)
+                self.loop._process_fused = make_dist_process_fused(
+                    self.mesh, self.loop, cfg.loop, axis="kf")
+                self.loop.db = put_db_sharded(self.mesh, self.loop.db,
+                                              axis="kf")
         else:
             self._opt_graph = (jax.jit(lambda g: optimize_posegraph(
                 g, iters=cfg.loop.posegraph_iters,

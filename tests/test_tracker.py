@@ -129,3 +129,43 @@ def test_tracker_two_rendered_views():
     # ids persist across frames for tracked features
     out_ids = np.asarray(out.ids[np.asarray(out.track_cnt >= 2)])
     assert len(out_ids) > 20
+
+
+def test_small_linalg_helpers():
+    """Hand-rolled small linear algebra (replacing LAPACK custom calls on
+    TPU) matches numpy references."""
+    from lmono_tpu.ops.ransac import (_chol_solve6, _det3, _inv3,
+                                      _polar3, _qr_nullvec)
+
+    rng = np.random.RandomState(0)
+    # SPD 6x6 solve
+    for _ in range(5):
+        A = rng.randn(6, 6)
+        H = A @ A.T + 0.1 * np.eye(6)
+        g = rng.randn(6)
+        x = np.asarray(_chol_solve6(jnp.asarray(H, jnp.float32),
+                                    jnp.asarray(g, jnp.float32)))
+        np.testing.assert_allclose(x, np.linalg.solve(H, g), rtol=2e-3,
+                                   atol=2e-4)
+    # QR nullspace of (m, m+1) and rank-deficient (m, m)
+    B = rng.randn(8, 9)
+    v = np.asarray(_qr_nullvec(jnp.asarray(B, jnp.float32)))
+    assert np.linalg.norm(B @ v) < 1e-4
+    C = rng.randn(12, 12)
+    C[-1] = C[:-1].T @ rng.randn(11)         # make rank 11
+    v2 = np.asarray(_qr_nullvec(jnp.asarray(C, jnp.float32)))
+    # smallest-singular direction: residual tiny relative to ||C||
+    assert np.linalg.norm(C @ v2) / np.linalg.norm(C) < 1e-3
+    # det / inv / polar
+    M = rng.randn(3, 3)
+    np.testing.assert_allclose(np.asarray(_det3(jnp.asarray(M, jnp.float32))),
+                               np.linalg.det(M), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(_inv3(jnp.asarray(M, jnp.float32))),
+                               np.linalg.inv(M), rtol=1e-3, atol=1e-4)
+    R_true, _ = np.linalg.qr(rng.randn(3, 3))
+    if np.linalg.det(R_true) < 0:
+        R_true[:, 0] *= -1
+    M2 = R_true * 2.5                        # rotation times scale
+    R, s = _polar3(jnp.asarray(M2, jnp.float32))
+    np.testing.assert_allclose(np.asarray(R), R_true, atol=1e-4)
+    np.testing.assert_allclose(float(s), 2.5, rtol=1e-4)
