@@ -60,9 +60,12 @@ class CandidateRows(NamedTuple):
 
 
 def gather_rows(db: KeyframeDB, slots: jax.Array) -> CandidateRows:
-    """Local-path row fetch (plain indexing)."""
+    """Local-path row fetch (plain indexing; descriptors unpack from the
+    bitpacked bank — only the k candidate rows, not the whole bank)."""
+    from lmono_tpu.ops.brief import unpack_bits
+
     return CandidateRows(
-        desc=db.desc[slots], kp_norm=db.kp_norm[slots],
+        desc=unpack_bits(db.desc[slots]), kp_norm=db.kp_norm[slots],
         kp_mask=db.kp_mask[slots], t=db.t[slots], q=db.q[slots],
         seq=db.seq[slots],
         lidar_edge=db.lidar_edge[slots],
@@ -236,9 +239,14 @@ class LoopDetector:
         self._prep = jax.jit(prep)
 
         # fused single-dispatch path: prep + detect + add in one jit call
-        # (each separate dispatch costs a full tunnel round-trip)
+        # (each separate dispatch costs a full tunnel round-trip).  The
+        # PRNG key splits INSIDE the program and the next key is returned:
+        # an eager jax.random.split per keyframe cost its own ~15 ms
+        # round-trip through the remote tunnel (measured: enqueue 52 ms/kf
+        # with eager key/time ops, device program only 27 ms)
         def process_fused(db, image, win_uv, win_norm, win_pts, win_mask,
-                          wpnp, ct, cq, seq, time, k, cam, lidar_pack):
+                          wpnp, ct, cq, seq, time, key, cam, lidar_pack):
+            k, key_next = jax.random.split(key)
             kp_uv, kp_ok, desc, wdesc = prep(image, win_uv, win_mask)
             kp_norm = cam.lift_to_normalized(kp_uv)
             lidar = None
@@ -260,7 +268,7 @@ class LoopDetector:
                           lidar_planar=lidar_pack[2],
                           lidar_planar_mask=lidar_pack[3])
             db2 = db_add(db, self.codebook, **kw)
-            return res, db2
+            return res, db2, key_next
 
         # no donation: donating the DB trips an axon-runtime
         # InvalidArgument (and the functional copy is ~sub-ms at HBM bw)
@@ -336,7 +344,6 @@ class LoopDetector:
 
         if win_pnp_mask is None:
             win_pnp_mask = win_mask
-        self._key, k = jax.random.split(self._key)
         seq = self.db.count
         use_lidar = (lidar_features is not None
                      and self.lidar_cfg is not None
@@ -357,28 +364,31 @@ class LoopDetector:
             if use_lidar:
                 le, lem, lp, lpm = lidar_features
                 lidar_pack = (le, lem, lp, lpm, extrinsic.t, extrinsic.q)
-            res, self.db = self._process_fused(
+            # np.float32(time): a numpy scalar rides in the dispatch; a
+            # jnp.float32() here was its own eager transfer round-trip
+            res, self.db, self._key = self._process_fused(
                 self.db, image, win_uv, win_norm, win_pts, win_mask,
                 win_pnp_mask, cam_pose.t, cam_pose.q, seq,
-                jnp.float32(time), k, cam, lidar_pack)
+                np.float32(time), self._key, cam, lidar_pack)
             return res if defer_note else self._note_result(res, time, pos)
 
+        self._key, k = jax.random.split(self._key)
         kp_uv, kp_ok, desc, wdesc = self._prep(image, win_uv, win_mask)
         kp_norm = cam.lift_to_normalized(kp_uv)
         if use_lidar:
             le, lem, lp, lpm = lidar_features
             res = self._detect_lidar(
                 self.db, desc, kp_ok, wdesc, win_pts, win_norm, win_mask,
-                cam_pose.t, cam_pose.q, seq, jnp.float32(time), k,
+                cam_pose.t, cam_pose.q, seq, np.float32(time), k,
                 win_pnp_mask, le, lem, lp, lpm, extrinsic.t, extrinsic.q)
         else:
             res = self._detect(self.db, desc, kp_ok, wdesc, win_pts,
                                win_norm, win_mask, cam_pose.t, cam_pose.q,
-                               seq, jnp.float32(time), k, win_pnp_mask)
+                               seq, np.float32(time), k, win_pnp_mask)
         kw = dict(desc=desc, kp_norm=kp_norm, kp_mask=kp_ok,
                   win_desc=wdesc, win_pts=win_pts, win_norm=win_norm,
                   win_mask=win_mask, t=cam_pose.t, q=cam_pose.q,
-                  time=jnp.float32(time))
+                  time=np.float32(time))
         if use_lidar:
             kw.update(lidar_edge=le, lidar_edge_mask=lem,
                       lidar_planar=lp, lidar_planar_mask=lpm)

@@ -19,10 +19,10 @@ from lmono_tpu.ops.brief import global_descriptor, make_codebook
 
 class KeyframeDB(NamedTuple):
     gdesc: jax.Array       # (C, dim) global descriptors (L2-normalized)
-    desc: jax.Array        # (C, K, B) ±1 BRIEF descriptors of keypoints
+    desc: jax.Array        # (C, K, B//8) BITPACKED BRIEF descriptors
     kp_norm: jax.Array     # (C, K, 2) keypoint normalized coords
     kp_mask: jax.Array     # (C, K)
-    win_desc: jax.Array    # (C, Kw, B) descriptors of window landmarks
+    win_desc: jax.Array    # (C, Kw, B//8) bitpacked window-landmark descs
     win_pts: jax.Array     # (C, Kw, 3) world 3D points of window landmarks
     win_norm: jax.Array    # (C, Kw, 2) their normalized obs in this keyframe
     win_mask: jax.Array    # (C, Kw)
@@ -48,10 +48,11 @@ class KeyframeDB(NamedTuple):
                        cfg.window_points, cfg.brief_bits)
         return KeyframeDB(
             gdesc=jnp.zeros((C, cfg.vocab_dim), jnp.float32),
-            desc=jnp.ones((C, K, B), jnp.int8),
+            # packed all-ones rows (= unpacked all +1, the masked filler)
+            desc=jnp.full((C, K, B // 8), 255, jnp.uint8),
             kp_norm=jnp.zeros((C, K, 2), jnp.float32),
             kp_mask=jnp.zeros((C, K), bool),
-            win_desc=jnp.ones((C, Kw, B), jnp.int8),
+            win_desc=jnp.full((C, Kw, B // 8), 255, jnp.uint8),
             win_pts=jnp.zeros((C, Kw, 3), jnp.float32),
             win_norm=jnp.zeros((C, Kw, 2), jnp.float32),
             win_mask=jnp.zeros((C, Kw), bool),
@@ -72,10 +73,15 @@ def db_add(db: KeyframeDB, codebook: jax.Array, *,
            desc, kp_norm, kp_mask, win_desc, win_pts, win_norm, win_mask,
            t, q, time, lidar_edge=None, lidar_edge_mask=None,
            lidar_planar=None, lidar_planar_mask=None) -> KeyframeDB:
-    """Append one keyframe (ring buffer; oldest evicted at capacity)."""
+    """Append one keyframe (ring buffer; oldest evicted at capacity).
+    `desc`/`win_desc` arrive unpacked (K, B) ±1 and are stored bitpacked."""
+    from lmono_tpu.ops.brief import pack_bits
+
     C = db.valid.shape[0]
     slot = db.count % C
     g = global_descriptor(desc, kp_mask, codebook)
+    desc = pack_bits(desc)
+    win_desc = pack_bits(win_desc)
     if lidar_edge is not None:
         db = db._replace(
             lidar_edge=db.lidar_edge.at[slot].set(lidar_edge),

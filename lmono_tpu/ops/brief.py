@@ -51,6 +51,25 @@ def brief_describe(image: jax.Array, kps: jax.Array,
     return jnp.where(mask[:, None], bits, jnp.ones_like(bits))
 
 
+def pack_bits(desc: jax.Array) -> jax.Array:
+    """±1 int8 (..., B) → packed uint8 (..., B//8): bit j of byte i is
+    (desc[8i+j] > 0).  The keyframe DB stores descriptors packed — 8× less
+    HBM and 8× cheaper functional bank copies per db_add; candidate rows
+    unpack on the fly for the Hamming matmul."""
+    B = desc.shape[-1]
+    bits = (desc > 0).astype(jnp.uint8).reshape(desc.shape[:-1] + (B // 8, 8))
+    weights = (2 ** jnp.arange(8, dtype=jnp.uint32)).astype(jnp.uint8)
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint8)
+
+
+def unpack_bits(packed: jax.Array) -> jax.Array:
+    """Packed uint8 (..., B//8) → ±1 int8 (..., B) (inverse of pack_bits)."""
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    pm1 = jnp.where(bits > 0, jnp.int8(1), jnp.int8(-1))
+    return pm1.reshape(packed.shape[:-1] + (packed.shape[-1] * 8,))
+
+
 def hamming_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
     """Pairwise Hamming distances between ±1 descriptor sets.
 

@@ -63,10 +63,9 @@ def _fetch_row(arr, own, lslot, axis):
         row = row.astype(jnp.int32)
         out = jax.lax.psum(jnp.where(own, row, 0), axis)
         return out > 0
-    if row.dtype == jnp.int8:
-        row = row.astype(jnp.int32)
-        out = jax.lax.psum(jnp.where(own, row, 0), axis)
-        return out.astype(jnp.int8)
+    if row.dtype in (jnp.int8, jnp.uint8):
+        out = jax.lax.psum(jnp.where(own, row.astype(jnp.int32), 0), axis)
+        return out.astype(row.dtype)
     return jax.lax.psum(jnp.where(own, row, jnp.zeros_like(row)), axis)
 
 
@@ -103,10 +102,12 @@ def sharded_query_fetch(db: KeyframeDB, g: jax.Array, cur_seq, cur_time,
 
     own = (top_gslot // Cd) == my                           # (k,)
     lslot = jnp.clip(top_gslot - my * Cd, 0, Cd - 1)
+    from lmono_tpu.ops.brief import unpack_bits
+
     fetch = lambda arr: jax.vmap(
         lambda o, s: _fetch_row(arr, o, s, axis))(own, lslot)
     rows = CandidateRows(
-        desc=fetch(db.desc), kp_norm=fetch(db.kp_norm),
+        desc=unpack_bits(fetch(db.desc)), kp_norm=fetch(db.kp_norm),
         kp_mask=fetch(db.kp_mask), t=fetch(db.t), q=fetch(db.q),
         seq=fetch(db.seq),
         lidar_edge=fetch(db.lidar_edge),
@@ -122,7 +123,12 @@ def sharded_db_add(db: KeyframeDB, g: jax.Array, axis: str, *,
                    lidar_edge_mask=None, lidar_planar=None,
                    lidar_planar_mask=None) -> KeyframeDB:
     """Ring append where only the owner shard writes the row (the counter
-    advances replicated on every shard)."""
+    advances replicated on every shard).  Descriptors arrive unpacked and
+    are stored bitpacked, as in `keyframe_db.db_add`."""
+    from lmono_tpu.ops.brief import pack_bits
+
+    desc = pack_bits(desc)
+    win_desc = pack_bits(win_desc)
     Cd = db.valid.shape[0]
     D = jax.lax.axis_size(axis)
     my = jax.lax.axis_index(axis)
@@ -158,17 +164,18 @@ def make_dist_process_fused(mesh: Mesh, detector, cfg: LoopConfig,
     lidar_cfg = detector.lidar_cfg
 
     def process(db, image, win_uv, win_norm, win_pts, win_mask,
-                wpnp, ct, cq, seq, time, k, cam, lidar_pack):
+                wpnp, ct, cq, seq, time, key, cam, lidar_pack):
         rep = jax.tree.map(lambda _: P(),
                            (image, win_uv, win_norm, win_pts, win_mask,
-                            wpnp, ct, cq, seq, time, k, lidar_pack))
+                            wpnp, ct, cq, seq, time, key, lidar_pack))
 
         @partial(jax.shard_map, mesh=mesh, check_vma=False,
                  in_specs=(db_specs(axis),) + (rep,),
-                 out_specs=(P(), db_specs(axis)))
+                 out_specs=(P(), db_specs(axis), P()))
         def inner(db_shard, args):
             (image, win_uv, win_norm, win_pts, win_mask, wpnp,
-             ct, cq, seq, time, k, lidar_pack) = args
+             ct, cq, seq, time, key, lidar_pack) = args
+            k, key_next = jax.random.split(key)
             kp_uv, kp_ok, desc, wdesc = prep(image, win_uv, win_mask)
             kp_norm = cam.lift_to_normalized(kp_uv)
             g = global_descriptor(desc, kp_ok, codebook)
@@ -193,9 +200,9 @@ def make_dist_process_fused(mesh: Mesh, detector, cfg: LoopConfig,
                 desc=desc, kp_norm=kp_norm, kp_mask=kp_ok,
                 win_desc=wdesc, win_pts=win_pts, win_norm=win_norm,
                 win_mask=win_mask, t=ct, q=cq, time=time, **kw)
-            return res, db2
+            return res, db2, key_next
 
         return inner(db, (image, win_uv, win_norm, win_pts, win_mask,
-                          wpnp, ct, cq, seq, time, k, lidar_pack))
+                          wpnp, ct, cq, seq, time, key, lidar_pack))
 
     return jax.jit(process, static_argnames=("cam",))

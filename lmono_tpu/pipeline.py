@@ -425,7 +425,7 @@ class SlamSystem:
         (ccam_t, ccam_q, cam_t, cam_q, ex_t, ex_q, lm_pts, lm_norm, lm_uv,
          lm_sel, lm_pnp, le, lem, lp, lpm, image) = self._jit_gather_kf(
             {k: outs[k] for k in self._kf_keys}, frames["image"],
-            jnp.int32(i))
+            np.int32(i))
         corr_pose = Pose(ccam_t, ccam_q)
         res = self.loop.process_keyframe(
             image, self.cam, lm_uv, lm_norm, lm_pts, lm_sel,
@@ -538,10 +538,12 @@ class SlamSystem:
             self.n_loops += 1
             applied += 1
             self.loop.note_loop(p["time"], pos)
-            rel = Pose(jnp.asarray(rel_t), jnp.asarray(rel_q))
+            # numpy scalars/arrays ride in the dispatch; eager jnp wrappers
+            # each cost a ~15 ms tunnel round-trip per reaped loop
+            rel = Pose(np.asarray(rel_t), np.asarray(rel_q))
             self.graph = self._jit_add_loop(
-                self.graph, jnp.int32(int(old_seq)),
-                jnp.int32(p["node_idx"]), rel,
+                self.graph, np.int32(int(old_seq)),
+                np.int32(p["node_idx"]), rel,
                 weight=(self.LOOP_W_REFINED if bool(refined)
                         else self.LOOP_W_PNP))
         self._pending = []
@@ -554,11 +556,11 @@ class SlamSystem:
                 # stop exerting its residual Geman-McClure pull (a
                 # verification false-accept, not a noisy measurement)
                 self.graph, n_bad = self._jit_drop_bad(self.graph,
-                                                       jnp.float32(0.5))
+                                                       np.float32(0.5))
                 if int(n_bad):
                     self.graph = self._opt_graph(self.graph)
             last = self._n_nodes - 1
-            t_l, q_l = self._jit_graph_last(self.graph, jnp.int32(last))
+            t_l, q_l = self._jit_graph_last(self.graph, np.int32(last))
             # correction = optimized-world from raw-estimator-world at the
             # newest node (algebraically opt ∘ raw_cam⁻¹; the previous
             # incremental composition reduced to the same thing)

@@ -486,3 +486,13 @@ def test_hk_config_preset():
     # config tree serializes
     cfg2 = SystemConfig.from_json(cfg.to_json())
     assert cfg2.loop.skip_loop_dis == 3.0
+
+
+def test_pack_unpack_roundtrip():
+    from lmono_tpu.ops.brief import pack_bits, unpack_bits
+
+    rng = np.random.RandomState(0)
+    d = jnp.asarray(np.where(rng.rand(7, 33, 256) > 0.5, 1, -1), jnp.int8)
+    p = pack_bits(d)
+    assert p.dtype == jnp.uint8 and p.shape == (7, 33, 32)
+    np.testing.assert_array_equal(np.asarray(unpack_bits(p)), np.asarray(d))
