@@ -9,7 +9,7 @@ each preset's configuration actually runs end-to-end (not just config
 plumbing).  Sequence 02 exercises the estimate_laser=2 path (hand-eye
 calibration from scratch).
 
-Writes EVAL_r04.json at the repo root.
+Writes EVAL_r05.json at the repo root.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python examples/eval_sweep.py
        [--frames 160] [--seqs 0,1,2,3,4,5,8]
@@ -39,16 +39,25 @@ from lmono_tpu.utils.lie import Pose
 CHUNK = 20
 
 
-def run_preset(seq: int, n_frames: int, scene, traj) -> dict:
+def run_preset(seq: int, n_frames: int, scene, traj,
+               traj_excite=None) -> dict:
     cfg = kitti_config(seq)
     T_CL = syn.synthetic_T_CL()
     cfg = cfg.replace(laser_to_camera=tuple(
         np.asarray(T_CL.to_mat4()).reshape(-1).tolist()))
     # estimate_laser==2 presets calibrate the extrinsic from scratch —
     # keep the true T_CL out of the config for those (the engine must
-    # recover the rotation by hand-eye)
+    # recover the rotation by hand-eye) and drive them on the rotation-
+    # rich figure-8 (VERDICT r4 #4): yaw-only circuit motion is AX=XB
+    # rank-deficient and the σ₂ gate correctly refuses it, so the circuit
+    # row measured raw odometry, not calibrated fusion
     if cfg.estimator.estimate_laser == 2:
         cfg = cfg.replace(laser_to_camera=None)
+        if traj_excite is not None:
+            traj = traj_excite
+        # σ₂>0.25 needs ~150 accumulated ~2°/frame pairs — run long
+        # enough that calibrate→adopt→fuse→freeze completes in ONE run
+        n_frames = max(n_frames, 240)
     cam = camera_from_config(cfg.camera)
 
     sim = jax.jit(lambda p, k: syn.simulate_lidar(
@@ -97,14 +106,12 @@ def run_preset(seq: int, n_frames: int, scene, traj) -> dict:
         "drift_pct": round(float(errs["t_err_pct"]), 3),
         "rot_deg_per_m": round(float(errs["r_err_deg_per_m"]), 5),
     }
-    # seq-02 calibrates the extrinsic online: record the recovered rotation
-    # error vs the true synthetic T_CL.  NOTE: the circuit's yaw-dominant
-    # motion makes AX=XB rank-deficient (rotation about the yaw axis is
-    # unobservable), so the reference-parity σ₂>0.25 convergence gate
-    # (`AxxbSolver.cc:140-146`) correctly refuses to adopt an estimate —
-    # `handeye_converged: false` + a large rot error vs the true extrinsic
-    # is the EXPECTED outcome here (KITTI's turns eventually excite it;
-    # `tests/test_fusion.py` covers convergence on rotation-rich motion).
+    # seq-02 calibrates the extrinsic online from identity on the
+    # rotation-rich figure-8 (its ATE row is CALIBRATED FUSION, not raw
+    # odometry): hand-eye σ₂ + residual gates clear after ~150 pairs,
+    # the estimate is adopted, fusion initializes, and FINE_TIMES freezes
+    # the extrinsic (reference path AxxbSolver.cc:89-147 →
+    # Estimator.cc:403-430).
     if cfg.estimator.estimate_laser == 2:
         from lmono_tpu.utils.lie import quat_mul, quat_conj
         w = fp.state.est.window
@@ -125,7 +132,9 @@ def main():
 
     scene = syn.make_city_scene()
     traj = syn.circuit_trajectory(args.frames + CHUNK)
-    rows = [run_preset(int(s), args.frames, scene, traj)
+    traj8 = syn.figure8_trajectory(max(args.frames, 240) + CHUNK)
+    rows = [run_preset(int(s), args.frames, scene, traj,
+                       traj_excite=traj8)
             for s in args.seqs.split(",")]
 
     out = {"frames_per_seq": args.frames,
@@ -135,7 +144,7 @@ def main():
                     "over 50-150 m segments"),
            "rows": rows}
     path = _os.path.join(_os.path.dirname(_os.path.dirname(
-        _os.path.abspath(__file__))), "EVAL_r04.json")
+        _os.path.abspath(__file__))), "EVAL_r05.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")

@@ -219,7 +219,18 @@ class MappingConfig:
     crop_height: float = 3.0          # drop points above camera by this much (m)
     map_voxel: float = 0.2            # world map voxel dedup size
     map_capacity: int = 1 << 21       # world colored-point capacity per shard
-    flush_every: int = 10             # PLY snapshot cadence (frames)
+    flush_every: int = 0              # >0: archive the active bank to host
+                                      # every N frames (the reference's
+                                      # every-10-frames PLY/clear cadence,
+                                      # Map_Builder.cc:82-98).  0 (default):
+                                      # occupancy-driven — archive only when
+                                      # the active bank passes flush_frac
+                                      # full.  Each archive drains the whole
+                                      # device pipeline (a measured ~50 ms/
+                                      # frame stall at cadence 10 on the
+                                      # remote-attached TPU), so cadence
+                                      # flushing is strictly a parity knob.
+    flush_frac: float = 0.7           # occupancy threshold for flush_every=0
     map_update: str = "hash"          # "hash" O(N) scatter | "sort" exact dedup
 
 

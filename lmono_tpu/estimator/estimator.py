@@ -50,6 +50,13 @@ class EstimatorState(NamedTuple):
     prev_norm: jax.Array      # (N,2) previous frame's normalized tracks
     prev_ids: jax.Array       # (N,)
     prev_alive: jax.Array     # (N,)
+    prev_laser_t: jax.Array   # (3,) previous frame's raw laser pose —
+    prev_laser_q: jax.Array   # (4,) hand-eye pairs need the EXACT one-frame
+                              # baseline; window slots don't provide it
+                              # pre-initialization (the un-slid window
+                              # overwrites its last slot, so lq[slot-1]
+                              # ages — the bug that fed multi-frame laser
+                              # deltas against one-frame camera rotations)
 
     @staticmethod
     def init(cfg: EstimatorConfig, T_CL: Pose | None, n_tracks: int):
@@ -59,6 +66,8 @@ class EstimatorState(NamedTuple):
             prev_norm=jnp.zeros((n_tracks, 2), jnp.float32),
             prev_ids=-jnp.ones((n_tracks,), jnp.int32),
             prev_alive=jnp.zeros((n_tracks,), bool),
+            prev_laser_t=jnp.zeros((3,), jnp.float32),
+            prev_laser_q=jnp.array([1.0, 0, 0, 0], jnp.float32),
         )
 
 
@@ -147,9 +156,8 @@ def fusion_step(state: EstimatorState, track: TrackOutput, laser: Pose,
         prev_of = corr.astype(track.norm.dtype) @ state.prev_norm
         q_cam, rp_ok = relative_pose_from_tracks(
             prev_of, track.norm, has_prev, key)
-        prev_slot = jnp.maximum(slot - 1, 0)
-        q_las = quat_mul(quat_conj(w.lq[prev_slot]), w.lq[slot])
-        pair_ok = rp_ok & (slot > 0) & ~he.converged
+        q_las = quat_mul(quat_conj(state.prev_laser_q), laser.q)
+        pair_ok = rp_ok & (wprev.count > 0) & ~he.converged
         he = handeye_update(he, q_cam, q_las, pair_ok)
         # adopt the rotation estimate until converged+frozen
         adopt = he.converged & ~state.handeye.converged
@@ -248,6 +256,8 @@ def fusion_step(state: EstimatorState, track: TrackOutput, laser: Pose,
         prev_norm=track.norm,
         prev_ids=track.ids,
         prev_alive=track.alive,
+        prev_laser_t=laser.t,
+        prev_laser_q=laser.q,
     )
     return new_state, output
 

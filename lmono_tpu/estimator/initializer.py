@@ -91,9 +91,20 @@ class HandEyeState(NamedTuple):
     n: jax.Array       # () int32 write cursor
     q_ex: jax.Array    # (4,) current estimate R_CL
     converged: jax.Array  # () bool
+    stable: jax.Array  # () int32 — consecutive updates with the estimate
+                       # moving <0.2°; the convergence criterion that
+                       # actually tracks identification quality (σ₂ crosses
+                       # its gate long before the weak direction is pinned:
+                       # measured 38° error at the σ₂ gate, 3-4° once the
+                       # estimate stops moving)
 
     @staticmethod
-    def init(capacity: int = 64) -> "HandEyeState":
+    def init(capacity: int = 512) -> "HandEyeState":
+        """capacity: rotation-pair ring size.  σ₂ of the stacked system
+        grows like √K·sin(θ/2), so the reference's σ₂>0.25 gate
+        (`AxxbSolver.cc:140-146`) is only reachable if enough pairs
+        accumulate — the reference keeps ALL pairs since start; 512 ≈ 51 s
+        of 10 Hz pairs bounds that without saturating below the gate."""
         return HandEyeState(
             q_cam=jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (capacity, 1)),
             q_las=jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (capacity, 1)),
@@ -101,6 +112,7 @@ class HandEyeState(NamedTuple):
             n=jnp.zeros((), jnp.int32),
             q_ex=jnp.array([1.0, 0, 0, 0], jnp.float32),
             converged=jnp.zeros((), bool),
+            stable=jnp.zeros((), jnp.int32),
         )
 
 
@@ -134,6 +146,17 @@ def handeye_update(st: HandEyeState, q_cam: jax.Array, q_las: jax.Array,
     AxxbSolver.cc:89-147).
     """
     K = st.mask.shape[0]
+    # physical pair filter: X-conjugate rotations have EQUAL angles
+    # (|log(q_cam)| = |log(q_las)| exactly, for any X).  Epipolar garbage
+    # from tracking collapse produces large-angle q_cam against small
+    # laser deltas — such pairs cleared σ₂ AND the residual gate by sheer
+    # magnitude (measured: a stable 57°-wrong "converged" estimate from
+    # 22 garbage pairs); the angle-consistency gate removes them at the
+    # source.
+    th_c = jnp.linalg.norm(so3_log_quat(q_cam), axis=-1)
+    th_l = jnp.linalg.norm(so3_log_quat(q_las), axis=-1)
+    pair_ok = pair_ok & (jnp.abs(th_c - th_l)
+                         < jnp.maximum(0.01, 0.15 * th_l))
     slot = st.n % K
     q_cam_b = st.q_cam.at[slot].set(jnp.where(pair_ok, q_cam, st.q_cam[slot]))
     q_las_b = st.q_las.at[slot].set(jnp.where(pair_ok, q_las, st.q_las[slot]))
@@ -155,8 +178,28 @@ def handeye_update(st: HandEyeState, q_cam: jax.Array, q_las: jax.Array,
     q_ex = Vt[-1]
     q_ex = q_ex * jnp.sign(q_ex[0] + 1e-12)
     q_ex = q_ex / jnp.linalg.norm(q_ex)
-    conv = (S[-2] > 0.25) & (n_b >= 10)
+    # residual-consistency gate ON TOP of the reference's σ₂>0.25: σ₂
+    # measures excitation but grows with √K for NOISE pairs too, so a
+    # fixed-capacity ring of noisy epipolar rotations can clear it while
+    # the solution is garbage (measured: 57° error with converged=true).
+    # A real solution explains the pairs — the weighted mean angular
+    # residual under the NEW estimate must be small.
+    pred_new = quat_mul(quat_mul(quat_conj(q_ex), q_cam_b), q_ex)
+    ang_new = jnp.linalg.norm(
+        so3_log_quat(quat_mul(quat_conj(q_las_b), pred_new)), axis=-1)
+    wsum = jnp.maximum(jnp.sum(w), 1e-6)
+    mean_res_deg = jnp.rad2deg(jnp.sum(w * ang_new) / wsum)
+    # stability: the estimate's motion per accepted pair, in degrees
+    move_deg = jnp.rad2deg(jnp.linalg.norm(
+        so3_log_quat(quat_mul(quat_conj(st.q_ex), q_ex))))
+    stable = jnp.where(pair_ok,
+                       jnp.where(move_deg < 0.6, st.stable + 1,
+                                 jnp.zeros((), jnp.int32)),
+                       st.stable)
+    conv = ((S[-2] > 0.25) & (n_b >= 10) & (mean_res_deg < 3.0)
+            & (stable >= 20))
     # keep old estimate until we have data
     q_ex = jnp.where(n_b >= 5, q_ex, st.q_ex)
     return HandEyeState(q_cam=q_cam_b, q_las=q_las_b, mask=mask_b, n=n_b,
-                        q_ex=q_ex, converged=st.converged | conv)
+                        q_ex=q_ex, converged=st.converged | conv,
+                        stable=stable)

@@ -163,6 +163,10 @@ def system_chunk(state: FusedState, cmap, frames: dict, corr: Pose,
         return (st2, cm), res
 
     (state2, cmap2), outs = jax.lax.scan(step, (state, cmap), frames)
+    # active-bank occupancy at chunk end: the host flush decision reads it
+    # from the SAME per-chunk fetch as the keyframe flags — a separate
+    # eager occupancy probe measurably stalled the device queue
+    outs["map_fill"] = jnp.sum(cmap2.mask)
     return state2, cmap2, outs
 
 

@@ -306,6 +306,42 @@ def circuit_trajectory(n_frames: int, radius: float = 32.0, dt: float = 0.1,
     return Pose(pos, q)
 
 
+def figure8_trajectory(n_frames: int, radius: float = 26.0, dt: float = 0.1,
+                       speed: float = 8.0, z: float = 1.7,
+                       tilt: float = 0.18) -> Pose:
+    """Rotation-rich ground truth: a figure-eight with pronounced pitch/
+    roll oscillation (~10°), exciting all three rotation axes.
+
+    Yaw-dominant motion (the plain circuit) leaves AX = XB rank-deficient
+    — rotation about the common yaw axis is unobservable — so the σ₂>0.25
+    hand-eye convergence gate (`AxxbSolver.cc:140-146` parity) correctly
+    refuses it.  This trajectory is the synthetic stand-in for KITTI's
+    turns + road grade, which provide the same multi-axis excitation; the
+    eval sweep drives the estimate_laser=2 presets with it.
+    """
+    t = jnp.arange(n_frames, dtype=jnp.float32) * dt
+    s = speed * t / radius
+    # Gerono lemniscate; direction from the analytic derivative
+    x = radius * jnp.cos(s)
+    y = radius * jnp.sin(s) * jnp.cos(s)
+    dx = -radius * jnp.sin(s)
+    dy = radius * (jnp.cos(s) ** 2 - jnp.sin(s) ** 2)
+    zz = z + 0.8 * jnp.sin(1.7 * s)
+    pos = jnp.stack([x, y, zz], axis=-1)
+    yaw = jnp.arctan2(dy, dx)
+    pitch = tilt * jnp.sin(2.3 * s)
+    roll = tilt * 0.7 * jnp.cos(1.9 * s)
+    q_yaw = so3_exp_quat(jnp.stack([jnp.zeros_like(yaw),
+                                    jnp.zeros_like(yaw), yaw], -1))
+    q_pitch = so3_exp_quat(jnp.stack([jnp.zeros_like(pitch), pitch,
+                                      jnp.zeros_like(pitch)], -1))
+    q_roll = so3_exp_quat(jnp.stack([roll, jnp.zeros_like(roll),
+                                     jnp.zeros_like(roll)], -1))
+    from lmono_tpu.utils.lie import quat_mul
+    q = quat_mul(q_yaw, quat_mul(q_pitch, q_roll))
+    return Pose(pos, q)
+
+
 # Default camera-from-laser extrinsic for the synthetic rig: camera looks
 # forward (+x sensor), mimicking the KITTI mounting (camera z = laser x,
 # camera x = -laser y, camera y = -laser z) with a small lever arm.

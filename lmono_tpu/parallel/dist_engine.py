@@ -92,7 +92,8 @@ def estimator_specs() -> EstimatorState:
         prior=P(), count=P(), initialized=P(), ex_refines=P(),
     )
     return EstimatorState(window=window, handeye=P(),
-                          prev_norm=P(), prev_ids=P(), prev_alive=P())
+                          prev_norm=P(), prev_ids=P(), prev_alive=P(),
+                          prev_laser_t=P(), prev_laser_q=P())
 
 
 def fused_specs() -> FusedState:

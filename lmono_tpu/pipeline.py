@@ -366,7 +366,9 @@ class SlamSystem:
              self.estimator.state, self._fkey) = fst2
         if self.mapper is not None:
             F = int(np.shape(outs["pose_t"])[0])
-            self.mapper.absorb_chunk(cmap2, F)
+            self.mapper.absorb_chunk(cmap2, F,
+                                     fill=outs.pop("map_fill", None))
+        outs.pop("map_fill", None)
         F = int(np.shape(outs["pose_t"])[0])
 
         for i in range(F):
