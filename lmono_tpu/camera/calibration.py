@@ -345,13 +345,131 @@ def calibrate_camera(model: str, obj_xy: np.ndarray, img_xy: np.ndarray,
 # Chessboard corner detection (reference `camera_models/src/chessboard/`)
 # --------------------------------------------------------------------------
 
+def _convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain; returns hull vertices in CCW order."""
+    P = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(points):
+        h = []
+        for p in points:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(P)
+    upper = half(P[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def _homography_4pt(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Exact homography from 4 correspondences (src → dst), 8×8 solve."""
+    A, b = [], []
+    for (x, y), (u, v) in zip(src, dst):
+        A.append([x, y, 1, 0, 0, 0, -u * x, -u * y]); b.append(u)
+        A.append([0, 0, 0, x, y, 1, -v * x, -v * y]); b.append(v)
+    h = np.linalg.solve(np.asarray(A, float), np.asarray(b, float))
+    return np.concatenate([h, [1.0]]).reshape(3, 3)
+
+
+def _apply_h(Hm: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    ph = np.concatenate([pts, np.ones((len(pts), 1))], -1) @ Hm.T
+    return ph[:, :2] / ph[:, 2:3]
+
+
+def _order_grid_homography(pts: np.ndarray, rows: int, cols: int):
+    """Row-major grid ordering under ARBITRARY perspective: the 4 extreme
+    hull corners define a homography from the ideal (cols-1)×(rows-1)
+    grid; projecting every corner back to grid coordinates and rounding
+    yields the ordering.  Replaces PCA-axis ordering, which shears under
+    tilt (VERDICT r4 #9; reference `Chessboard.cc`'s ~2k-LoC detector
+    solves the same problem with quad linking)."""
+    from itertools import combinations
+
+    hull = _convex_hull(pts)
+    if len(hull) < 4:
+        return None
+    best_q, best_a = None, -1.0
+    for quad in combinations(range(len(hull)), 4):
+        q = hull[list(quad)]
+        a = 0.5 * abs(sum(
+            q[i, 0] * q[(i + 1) % 4, 1] - q[(i + 1) % 4, 0] * q[i, 1]
+            for i in range(4)))
+        if a > best_a:
+            best_a, best_q = a, q
+    tgt = np.array([[0, 0], [cols - 1, 0], [cols - 1, rows - 1],
+                    [0, rows - 1]], float)
+    grid_set = {(r, c) for r in range(rows) for c in range(cols)}
+
+    def _dlt_ls(src, dst):
+        A = []
+        for (x, y), (u, v) in zip(src, dst):
+            A.append([x, y, 1, 0, 0, 0, -u * x, -u * y, -u])
+            A.append([0, 0, 0, x, y, 1, -v * x, -v * y, -v])
+        _, _, Vt = np.linalg.svd(np.asarray(A))
+        return Vt[-1].reshape(3, 3)
+
+    for flip in (False, True):
+        q4 = best_q[::-1] if flip else best_q
+        for s in range(4):
+            qs = np.roll(q4, -s, axis=0)
+            try:
+                Hm = _homography_4pt(tgt, qs)
+                g = _apply_h(np.linalg.inv(Hm), pts)
+            except np.linalg.LinAlgError:
+                continue
+            # the 4-corner H carries those corners' detection noise into
+            # mid-grid deviations; 2 rounds of least-squares refit on the
+            # well-assigned majority pull everyone onto the lattice
+            for _ in range(2):
+                gr = np.round(g)
+                good = np.max(np.abs(g - gr), axis=1) < 0.35
+                if good.sum() < max(8, (rows * cols) // 2):
+                    break
+                try:
+                    H2 = _dlt_ls(gr[good], pts[good])
+                    g = _apply_h(np.linalg.inv(H2), pts)
+                except np.linalg.LinAlgError:
+                    break
+            # per-cell best-candidate assignment: the candidate list may
+            # hold MORE than rows·cols points (duplicate NMS responses on
+            # one junction under tilt) — each lattice cell takes its
+            # closest candidate; every cell must be filled
+            gr = np.round(g).astype(int)
+            dev = np.max(np.abs(g - gr), axis=1)
+            chosen = {}
+            for i in range(len(pts)):
+                if dev[i] > 0.4:
+                    continue
+                cell = (gr[i, 1], gr[i, 0])
+                if cell not in grid_set:
+                    continue
+                if cell not in chosen or dev[i] < dev[chosen[cell]]:
+                    chosen[cell] = i
+            if set(chosen) != grid_set:
+                continue
+            idx = [chosen[(r, c)] for r in range(rows)
+                   for c in range(cols)]                # row-major
+            ordered = pts[idx]
+            # orientation gate: a physical board seen from its front maps
+            # grid axes to image axes orientation-preservingly; the
+            # mirrored assignment also satisfies the lattice but hands
+            # Zhang an improper homography (NaN poses).  Check the sign
+            # of the (row-step × col-step) cross product at the corner.
+            ex = ordered[1] - ordered[0]                # +col step
+            ey = ordered[cols] - ordered[0]             # +row step
+            if ex[0] * ey[1] - ex[1] * ey[0] <= 0:
+                continue
+            return ordered
+    return None
+
+
 def find_chessboard_corners(image: jax.Array, rows: int, cols: int):
     """Detect inner chessboard corners and order them row-major.
 
     Approach: X-junction response (checkerboard kernel convolution) → NMS →
-    take top rows·cols → order by board axes (PCA of corner cloud).
-    Suitable for calibration-grade images (near-frontal to moderate tilt),
-    which matches the reference CLI's use (`intrinsic_calib.cc`).
+    take top rows·cols → homography-guided grid ordering (handles ≥30°
+    tilted boards), with a PCA-axis fallback for degenerate hulls.
     Returns (corners (rows*cols, 2) float32 pixels, ok bool).
     """
     from lmono_tpu.ops.image import gauss_blur3, max_pool_same
@@ -368,15 +486,36 @@ def find_chessboard_corners(image: jax.Array, rows: int, cols: int):
     is_max = resp >= max_pool_same(resp, 7)
     resp_nms = jnp.where(is_max, resp, 0.0)
     n = rows * cols
-    flat_idx = jnp.argsort(-resp_nms.reshape(-1))[:n]
+    # over-detect then DEDUP: under tilt one junction can fire twice a few
+    # pixels apart (both surviving the 7x7 NMS); greedy strongest-first
+    # suppression within 6 px merges them, after which the top n are the
+    # true junctions.  Without the dedup a double-fire displaces the last
+    # real corner from the top-n list.
+    n_cand = n + 10
+    flat_idx = jnp.argsort(-resp_nms.reshape(-1))[:n_cand]
     W = image.shape[1]
     uv = jnp.stack([(flat_idx % W).astype(jnp.float32),
                     (flat_idx // W).astype(jnp.float32)], -1)
     strengths = resp_nms.reshape(-1)[flat_idx]
-    ok = bool(strengths[-1] > 0.25 * strengths[0])
+    ok = bool(strengths[n - 1] > 0.25 * strengths[0])
 
-    # order into a grid: project onto principal axes and lexsort
-    pts = np.asarray(uv, np.float64)
+    cand_all = np.asarray(uv, np.float64)
+    keep = []
+    for i in range(len(cand_all)):     # strength-ordered already
+        if all(np.linalg.norm(cand_all[i] - cand_all[j]) >= 6.0
+               for j in keep):
+            keep.append(i)
+        if len(keep) == n:
+            break
+    if len(keep) < n:
+        keep = list(range(n))
+    cand = cand_all[keep]
+    ordered = _order_grid_homography(cand, rows, cols)
+    if ordered is not None:
+        return jnp.asarray(ordered, jnp.float32), ok
+    pts = cand
+    # fallback: PCA-axis ordering (near-frontal boards with degenerate
+    # hulls, e.g. exactly-collinear synthetic lattices)
     c = pts.mean(0)
     X = pts - c
     _, _, Vt = np.linalg.svd(X, full_matrices=False)

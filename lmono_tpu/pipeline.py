@@ -56,6 +56,11 @@ from lmono_tpu.utils.lie import Pose
 from lmono_tpu.utils.timing import StageTimer
 
 
+# kf-sharded pose-graph crossover: node count where the sharded optimizer
+# starts winning (SCALING.json posegraph_size_sweep, 8-dev virtual mesh)
+DIST_POSEGRAPH_CROSSOVER = 16384
+
+
 class SlamSystem:
     """End-to-end SLAM engine over (scan, image) frame streams.
 
@@ -143,10 +148,24 @@ class SlamSystem:
             self.estimator.state = put_sharded(self.mesh,
                                                self.estimator.state,
                                                estimator_specs())
-            self._opt_graph = (make_sharded_posegraph_opt(
-                self.mesh, iters=cfg.loop.posegraph_iters, cg_iters=50,
-                four_dof=cfg.loop.posegraph_4dof, axis="kf")
-                if enable_loop else None)
+            if enable_loop:
+                # measured crossover (SCALING.json posegraph_size_sweep:
+                # 8-dev partition efficiency 0.21 at N=2048, 0.50 at 8192,
+                # ≥1.0 only from 16384): below it the kf-sharded GN+CG's
+                # 3 latency-bound collectives per CG step cost more than
+                # the O(N) local work they split, so small graphs run the
+                # single-device optimizer replicated — the same fallback
+                # the window solver applies (DIST_WINDOW_CROSSOVER).
+                self._opt_graph_sharded = make_sharded_posegraph_opt(
+                    self.mesh, iters=cfg.loop.posegraph_iters, cg_iters=50,
+                    four_dof=cfg.loop.posegraph_4dof, axis="kf")
+                self._opt_graph_plain = jax.jit(
+                    lambda g: optimize_posegraph(
+                        g, iters=cfg.loop.posegraph_iters,
+                        four_dof=cfg.loop.posegraph_4dof))
+                self._opt_graph = lambda g: self._choose_posegraph_opt(g)(g)
+            else:
+                self._opt_graph = None
             if enable_loop and pc.kf_shards > 1:
                 # shard the loop detector's keyframe DB over the kf axis
                 # (VERDICT r4 #5): score matmul + row storage partition by
@@ -235,6 +254,14 @@ class SlamSystem:
         # images arrive on independent clocks and are paired by timestamp
         from lmono_tpu.io.sync import MeasurementSync
         self.sync = MeasurementSync(delay_time=cfg.estimator.delay_time)
+
+    # ------------------------------------------------------------------
+    def _choose_posegraph_opt(self, g):
+        """Mesh mode: sharded optimizer only past the measured crossover
+        (see DIST_POSEGRAPH_CROSSOVER); small graphs run replicated."""
+        if g.t.shape[0] >= DIST_POSEGRAPH_CROSSOVER:
+            return self._opt_graph_sharded
+        return self._opt_graph_plain
 
     # ------------------------------------------------------------------
     # Push-based streaming front (replaces the reference's ROS-topic intake:

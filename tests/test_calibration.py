@@ -142,3 +142,88 @@ def test_chessboard_detection():
     first_row = c[:cols]
     dx = np.diff(first_row[:, 0])
     assert (dx > 0).all() or (dx < 0).all()
+
+
+def _render_tilted_board(rows, cols, sq_px, tilt_deg, f=400.0,
+                         W=420, H=340, yaw_deg=0.0, dist=2.2,
+                         tilt_x_deg=0.0):
+    """Render a checkerboard on a tilted plane through a pinhole camera;
+    returns (image (H,W), inner-corner pixels (rows*cols, 2) row-major)."""
+    from lmono_tpu.utils.lie import so3_exp_quat, quat_to_mat
+
+    sq = sq_px / f * dist                      # board square size (m-ish)
+    rot = so3_exp_quat(jnp.asarray(
+        [np.deg2rad(tilt_x_deg), np.deg2rad(tilt_deg),
+         np.deg2rad(yaw_deg)], jnp.float32))
+    R = np.asarray(quat_to_mat(rot))
+    t = np.array([-(cols + 1) / 2 * sq, -(rows + 1) / 2 * sq, dist])
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    # homography board-plane -> pixels: K [r1 r2 (R tboard + t)]
+    Hm = K @ np.stack([R[:, 0], R[:, 1], t], axis=1)
+
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    Hinv = np.linalg.inv(Hm)
+    ph = np.stack([xx, yy, np.ones_like(xx)], -1) @ Hinv.T
+    bx, by = ph[..., 0] / ph[..., 2], ph[..., 1] / ph[..., 2]
+    inside = (bx > 0) & (bx < (cols + 1) * sq) & (by > 0) & \
+        (by < (rows + 1) * sq) & (ph[..., 2] > 0)
+    checker = ((np.floor(bx / sq) + np.floor(by / sq)) % 2)
+    img = np.where(inside, checker, 0.6).astype(np.float32)
+
+    corners = []
+    for r in range(rows):
+        for c in range(cols):
+            b = np.array([(c + 1) * sq, (r + 1) * sq, 1.0])
+            p = Hm @ b
+            corners.append(p[:2] / p[2])
+    return jnp.asarray(img), np.array(corners)
+
+
+def test_chessboard_detection_tilted():
+    """≥30°-tilted boards order correctly via the homography-guided grid
+    (VERDICT r4 #9) — a wrong ordering cannot be explained by ANY
+    homography from the ideal grid."""
+    rows, cols = 5, 7
+    for tilt, yaw in ((32.0, 8.0), (40.0, -12.0)):
+        img, true_c = _render_tilted_board(rows, cols, 26, tilt, yaw_deg=yaw)
+        det, ok = find_chessboard_corners(img, rows, cols)
+        assert ok, f"detection gate failed at tilt {tilt}"
+        det = np.asarray(det, np.float64)
+        # every detected corner near a true one
+        d = np.linalg.norm(det[:, None] - true_c[None, :], axis=-1)
+        assert d.min(axis=1).max() < 2.5, d.min(axis=1).max()
+        # ordering must be homography-consistent with the ideal grid
+        grid = np.stack(np.meshgrid(np.arange(cols), np.arange(rows)),
+                        -1).reshape(-1, 2).astype(np.float64)
+        A = []
+        for (x, y), (u, v) in zip(grid, det):
+            A.append([x, y, 1, 0, 0, 0, -u * x, -u * y, -u])
+            A.append([0, 0, 0, x, y, 1, -v * x, -v * y, -v])
+        _, _, Vt = np.linalg.svd(np.asarray(A))
+        Hm = Vt[-1].reshape(3, 3)
+        proj = np.concatenate([grid, np.ones((len(grid), 1))], -1) @ Hm.T
+        proj = proj[:, :2] / proj[:, 2:3]
+        res = np.linalg.norm(proj - det, axis=-1)
+        assert res.max() < 1.5, f"ordering not grid-consistent: {res.max()}"
+
+
+def test_tilted_boards_calibrate():
+    """Detection on tilted boards feeds Zhang+GN to sub-pixel RMSE."""
+    rows, cols, sq_px = 5, 7, 26
+    f_true = 400.0
+    obj = np.stack(np.meshgrid(np.arange(cols), np.arange(rows)),
+                   -1).reshape(-1, 2).astype(np.float64) * 0.03
+    views = []
+    # mixed tilt AXES: Zhang's B-matrix needs plane-orientation diversity
+    # (all-one-axis tilts are a degenerate view family)
+    for tilt_y, tilt_x, yaw in ((30.0, 4.0, 5.0), (-34.0, 10.0, -8.0),
+                                (6.0, 32.0, 14.0), (-8.0, -31.0, 20.0),
+                                (24.0, -24.0, -16.0), (-22.0, 26.0, 9.0)):
+        img, _ = _render_tilted_board(rows, cols, sq_px, tilt_y, f=f_true,
+                                      yaw_deg=yaw, tilt_x_deg=tilt_x)
+        det, ok = find_chessboard_corners(img, rows, cols)
+        assert ok
+        views.append(np.asarray(det))
+    res = calibrate_pinhole(obj, np.stack(views), iters=25)
+    assert res.reproj_rmse < 0.5, res.reproj_rmse
+    assert abs(res.fx - f_true) < 12.0, res.fx

@@ -160,3 +160,25 @@ def test_sharded_posegraph_loop_edges_cross_shards():
     err_in = np.linalg.norm(np.asarray(g.t) - gt_t, axis=-1).max()
     err_out = np.linalg.norm(np.asarray(out.t) - gt_t, axis=-1).max()
     assert err_out < 0.8 * err_in
+
+
+def test_mesh_posegraph_crossover_fallback():
+    """Mesh-mode SlamSystem uses the single-device pose-graph optimizer
+    below the measured crossover and the sharded one above it
+    (VERDICT r4 #6; SCALING.json posegraph_size_sweep)."""
+    import dataclasses
+
+    import numpy as np
+
+    from lmono_tpu.config import synthetic_config
+    from lmono_tpu.loop.posegraph import PoseGraph
+    from lmono_tpu.pipeline import DIST_POSEGRAPH_CROSSOVER, SlamSystem
+
+    cfg = synthetic_config()
+    cfg = cfg.replace(parallel=dataclasses.replace(
+        cfg.parallel, kf_shards=2, map_shards=1))
+    system = SlamSystem(cfg, enable_loop=True, enable_mapping=False)
+    small = PoseGraph.empty(512)
+    assert system._choose_posegraph_opt(small) is system._opt_graph_plain
+    big = PoseGraph.empty(DIST_POSEGRAPH_CROSSOVER)
+    assert system._choose_posegraph_opt(big) is system._opt_graph_sharded
