@@ -189,6 +189,12 @@ class LoopConfig:
     image_crop: int = 0               # IMAGE_CROP: mask keypoints this many
                                       # px from the left/right image borders
                                       # (loop_detection_node.cc:356)
+    use_orb: bool = False             # use_orb: steer the BRIEF pattern by
+                                      # the ORB intensity-centroid patch
+                                      # orientation (the reference's
+                                      # alternative descriptor path,
+                                      # KeyFrame.cc:141-170; both shipped
+                                      # dataset configs run use_orb: 0)
     vocab_dim: int = 1000             # global-descriptor word count; the
                                       # shipped asset is a hierarchical
                                       # k=10 L=3 k-means vocabulary

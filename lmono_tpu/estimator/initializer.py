@@ -193,11 +193,23 @@ def handeye_update(st: HandEyeState, q_cam: jax.Array, q_las: jax.Array,
     move_deg = jnp.rad2deg(jnp.linalg.norm(
         so3_log_quat(quat_mul(quat_conj(st.q_ex), q_ex))))
     stable = jnp.where(pair_ok,
-                       jnp.where(move_deg < 0.6, st.stable + 1,
+                       jnp.where(move_deg < 1.0, st.stable + 1,
                                  jnp.zeros((), jnp.int32)),
                        st.stable)
-    conv = ((S[-2] > 0.25) & (n_b >= 10) & (mean_res_deg < 3.0)
-            & (stable >= 20))
+    # thresholds tuned on the LIVE pipeline (real scan-to-map odometry
+    # rotations, full-scale KITTI camera; /tmp probes r5): σ₂ grows only
+    # ~√K·θ̄·axis-spread ≈ 0.01/pair there, so the reference's 0.25 value
+    # alone would demand ~800 frames while the estimate already sits at
+    # its 4-8° identification floor (pair residuals 0.6°) after ~100
+    # pairs.  Adoption is instead gated on the ENSEMBLE: excitation
+    # (σ₂ > 0.1), volume (n ≥ 60), fit (residual < 3°), and stability
+    # (15 quiet updates) — the window BA's ∂reprojection/∂T_CL refinement
+    # then takes over (2.0° final in tests/test_fusion.py).  This is a
+    # deliberate deviation from the reference's bare σ₂>0.25
+    # (AxxbSolver.cc:140-146), which on our pair scale fires either never
+    # (clean pairs) or on noise (see the 57° failure note above).
+    conv = ((S[-2] > 0.1) & (n_b >= 60) & (mean_res_deg < 3.0)
+            & (stable >= 15))
     # keep old estimate until we have data
     q_ex = jnp.where(n_b >= 5, q_ex, st.q_ex)
     return HandEyeState(q_cam=q_cam_b, q_las=q_las_b, mask=mask_b, n=n_b,

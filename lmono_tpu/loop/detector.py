@@ -231,8 +231,21 @@ class LoopDetector:
                 # Set image_crop=0 for strict FAST-path parity.
                 c = float(cfg.image_crop)
                 kp_ok = kp_ok & (kp_uv[:, 0] >= c) & (kp_uv[:, 0] <= W - c)
-            desc = brief_describe(image, kp_uv, kp_ok)
-            wdesc = brief_describe(image, win_uv, win_mask)
+            if cfg.use_orb:
+                # ORB path (`use_orb: 1`, KeyFrame.cc:141-170): steer the
+                # BRIEF pattern by the intensity-centroid orientation —
+                # matching survives in-plane camera roll between visits
+                from lmono_tpu.ops.brief import patch_orientation
+
+                desc = brief_describe(
+                    image, kp_uv, kp_ok,
+                    angle=patch_orientation(image, kp_uv))
+                wdesc = brief_describe(
+                    image, win_uv, win_mask,
+                    angle=patch_orientation(image, win_uv))
+            else:
+                desc = brief_describe(image, kp_uv, kp_ok)
+                wdesc = brief_describe(image, win_uv, win_mask)
             return kp_uv, kp_ok, desc, wdesc
 
         self._prep_fn = prep          # raw fn (reused by dist_loop)

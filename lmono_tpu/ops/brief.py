@@ -36,19 +36,52 @@ _PATTERN = jnp.asarray(brief_pattern())
 
 
 def brief_describe(image: jax.Array, kps: jax.Array,
-                   mask: jax.Array) -> jax.Array:
+                   mask: jax.Array, angle: jax.Array | None = None
+                   ) -> jax.Array:
     """Compute ±1 BRIEF descriptors at keypoints.
 
     image: (H, W) in [0,1]; kps: (K, 2) pixel coords.
+    angle: optional (K,) per-keypoint orientation (radians) — the sampling
+    pattern rotates with it (the ORB "steered BRIEF" variant the reference
+    offers behind `use_orb: 1`, KeyFrame.cc:141-170).
     Returns (K, 256) int8 in {±1} (masked rows are +1 everywhere).
     """
     sm = gauss_blur5(gauss_blur5(image))
-    p1 = kps[:, None, :] + _PATTERN[None, :, :2]      # (K, B, 2)
-    p2 = kps[:, None, :] + _PATTERN[None, :, 2:]
+    off1 = _PATTERN[None, :, :2]                      # (1, B, 2)
+    off2 = _PATTERN[None, :, 2:]
+    if angle is not None:
+        ca, sa = jnp.cos(angle)[:, None], jnp.sin(angle)[:, None]
+
+        def rot(o):
+            x, y = o[..., 0], o[..., 1]
+            return jnp.stack([ca * x - sa * y, sa * x + ca * y], -1)
+
+        off1, off2 = rot(off1), rot(off2)
+    p1 = kps[:, None, :] + off1                       # (K, B, 2)
+    p2 = kps[:, None, :] + off2
     i1 = bilinear_sample(sm, p1)
     i2 = bilinear_sample(sm, p2)
     bits = jnp.where(i1 < i2, 1, -1).astype(jnp.int8)
     return jnp.where(mask[:, None], bits, jnp.ones_like(bits))
+
+
+def patch_orientation(image: jax.Array, kps: jax.Array,
+                      radius: int = 7) -> jax.Array:
+    """ORB intensity-centroid orientation per keypoint:
+    θ = atan2(m01, m10) over a (2r+1)² patch (disc-masked).
+
+    Returns (K,) radians.  Used when `LoopConfig.use_orb` — the reference's
+    alternative descriptor path (`KeyFrame.cc:141-170`, `use_orb: 1`)."""
+    sm = gauss_blur5(image)
+    d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    oy, ox = jnp.meshgrid(d, d, indexing="ij")
+    disc = (ox ** 2 + oy ** 2) <= radius ** 2
+    grid = jnp.stack([ox, oy], -1).reshape(-1, 2)     # (P, 2)
+    pts = kps[:, None, :] + grid[None, :, :]          # (K, P, 2)
+    vals = bilinear_sample(sm, pts) * disc.reshape(-1)[None, :]
+    m10 = jnp.sum(vals * grid[None, :, 0], axis=1)
+    m01 = jnp.sum(vals * grid[None, :, 1], axis=1)
+    return jnp.arctan2(m01, m10)
 
 
 def pack_bits(desc: jax.Array) -> jax.Array:

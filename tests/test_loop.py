@@ -496,3 +496,79 @@ def test_pack_unpack_roundtrip():
     p = pack_bits(d)
     assert p.dtype == jnp.uint8 and p.shape == (7, 33, 32)
     np.testing.assert_array_equal(np.asarray(unpack_bits(p)), np.asarray(d))
+
+
+def test_orb_descriptors_rotation_invariant():
+    """use_orb steers the BRIEF pattern by patch orientation: descriptors
+    of the same physical corner under ~35° in-plane camera roll must match
+    under ORB where plain BRIEF diverges (reference use_orb: 1,
+    KeyFrame.cc:141-170)."""
+    from lmono_tpu.ops.brief import (brief_describe, hamming_matrix,
+                                     patch_orientation)
+
+    rng = np.random.RandomState(0)
+    H = W = 160
+    base = rng.rand(H // 8, W // 8)
+    img = np.kron(base, np.ones((8, 8))).astype(np.float32)  # blocky texture
+    img = jnp.asarray(img)
+    ang = np.deg2rad(35.0)
+    c = (W - 1) / 2.0
+    R = np.array([[np.cos(ang), -np.sin(ang)], [np.sin(ang), np.cos(ang)]])
+    # rotate the IMAGE by -ang around the center (inverse warp)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    src = (np.stack([xx - c, yy - c], -1) @ R).reshape(-1, 2) + c
+    from lmono_tpu.ops.image import bilinear_sample
+    rot_img = bilinear_sample(img, jnp.asarray(src, jnp.float32)
+                              ).reshape(H, W)
+
+    kps = jnp.asarray(rng.uniform(45, W - 45, (24, 2)), jnp.float32)
+    # the same physical points in the rotated image
+    kps_rot = jnp.asarray(
+        (np.asarray(kps) - c) @ R.T + c, jnp.float32)
+    mask = jnp.ones((24,), bool)
+
+    d_plain_a = brief_describe(img, kps, mask)
+    d_plain_b = brief_describe(rot_img, kps_rot, mask)
+    d_orb_a = brief_describe(img, kps, mask,
+                             angle=patch_orientation(img, kps))
+    d_orb_b = brief_describe(rot_img, kps_rot, mask,
+                             angle=patch_orientation(rot_img, kps_rot))
+
+    ham_plain = np.diagonal(np.asarray(hamming_matrix(d_plain_a, d_plain_b)))
+    ham_orb = np.diagonal(np.asarray(hamming_matrix(d_orb_a, d_orb_b)))
+    # ORB self-matches must be far better than plain BRIEF under roll and
+    # clear the matcher's <80 Hamming gate on average
+    assert ham_orb.mean() < ham_plain.mean() - 20, \
+        (ham_orb.mean(), ham_plain.mean())
+    assert ham_orb.mean() < 60, ham_orb.mean()
+
+
+def test_detector_runs_with_use_orb():
+    """The loop detector end-to-end with use_orb=1 (smoke + determinism)."""
+    import dataclasses
+
+    from lmono_tpu.camera.models import pinhole_camera
+    from lmono_tpu.config import LoopConfig
+    from lmono_tpu.loop.detector import LoopDetector
+    from lmono_tpu.utils.lie import Pose
+
+    H, W, KW = 128, 160, 32
+    cfg = LoopConfig(db_capacity=64, max_keypoints=64, window_points=KW,
+                     search_gap=2, search_time=0.15, skip_time=0.0,
+                     skip_dis=0.0, use_orb=True)
+    cam = pinhole_camera(W, H, 100.0, 100.0, W / 2, H / 2)
+    det = LoopDetector(cfg, (H, W))
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.rand(H, W), jnp.float32)
+    for i in range(4):
+        uv = jnp.asarray(rng.uniform([8, 8], [W - 8, H - 8], (KW, 2)),
+                         jnp.float32)
+        norm = (uv - jnp.asarray([W / 2, H / 2])) / 100.0
+        pts = jnp.concatenate([norm * 5.0, jnp.full((KW, 1), 5.0)], -1)
+        res = det.process_keyframe(
+            img, cam, uv, norm, pts, jnp.ones((KW,), bool),
+            Pose(jnp.asarray([0.1 * i, 0, 0], jnp.float32),
+                 jnp.asarray([1.0, 0, 0, 0], jnp.float32)), 0.1 * i,
+            defer_note=True)
+        assert res is not None
+    assert int(det.db.count) == 4
