@@ -55,9 +55,10 @@ def run_preset(seq: int, n_frames: int, scene, traj,
         cfg = cfg.replace(laser_to_camera=None)
         if traj_excite is not None:
             traj = traj_excite
-        # σ₂>0.25 needs ~150 accumulated ~2°/frame pairs — run long
+        # the adoption gate needs ~100 accumulated pairs + post-
+        # adoption BA frames — run long
         # enough that calibrate→adopt→fuse→freeze completes in ONE run
-        n_frames = max(n_frames, 240)
+        n_frames = max(n_frames, 300)
     cam = camera_from_config(cfg.camera)
 
     sim = jax.jit(lambda p, k: syn.simulate_lidar(
@@ -132,7 +133,7 @@ def main():
 
     scene = syn.make_city_scene()
     traj = syn.circuit_trajectory(args.frames + CHUNK)
-    traj8 = syn.figure8_trajectory(max(args.frames, 240) + CHUNK)
+    traj8 = syn.figure8_trajectory(max(args.frames, 300) + CHUNK)
     rows = [run_preset(int(s), args.frames, scene, traj,
                        traj_excite=traj8)
             for s in args.seqs.split(",")]
