@@ -441,13 +441,6 @@ def main():
     deltas = check_regression(out)
     if deltas:
         out["vs_prev_round"] = deltas
-        if deltas.get("odometry_fps", 0) < -0.10:
-            out["regression_note"] = (
-                "odometry delta vs r3 is the exact-f32 KNN distance fix: "
-                "r3 ran the registration's distance matmul at the MXU's "
-                "bf16 default, corrupting d2 by up to 70 m^2 at world "
-                "magnitudes; r4 computes exact f32 (fused broadcast-diff, "
-                "+27% distance cost, odometry ATE 0.188->0.174 m)")
     print(json.dumps(out), flush=True)
 
 

@@ -126,7 +126,13 @@ class MapBuilder:
     (`Map_Builder.cc:82-98`) but without discarding the global map.
     """
 
-    ACTIVE_CAPACITY = 1 << 18
+    # Active colored bank: ~24 MB of HBM at 2^20 rows (points+colors f32).
+    # Per-frame update cost is O(new points) regardless of capacity (hash
+    # scatter, no eviction pass), but every archive flush stalls the
+    # device pipeline through the remote tunnel (measured seconds per
+    # flush at KITTI scale) — so the bank is sized to flush only every
+    # few hundred frames.
+    ACTIVE_CAPACITY = 1 << 20
 
     def __init__(self, cam: CameraModel, cfg: MappingConfig, mesh=None):
         """mesh: optional engine mesh — the active colored bank is sharded
@@ -225,18 +231,15 @@ class MapBuilder:
         return {"depth": depth, "depth_mask": dmask,
                 "n_points": self._archived_n + jnp.sum(self.map.mask)}
 
-    def absorb_chunk(self, cmap: ColorMap, n_frames: int,
-                     fill=None) -> None:
+    def absorb_chunk(self, cmap: ColorMap, n_frames: int) -> None:
         """Adopt the active bank carried through a chunked system program
         (`fused.system_chunk`); flushes land on chunk boundaries (the
         reference's every-10-frames PLY/clear cycle, Map_Builder.cc:82-98,
-        is itself only cadence, not semantics).
-
-        fill: the chunk program's own end-of-chunk occupancy scalar
-        (device value).  It is read one chunk LATE — by then it has long
-        materialized, so the read never drains the device queue (both a
-        synchronous count and a separately-enqueued eager count measurably
-        stalled the pipeline: 7.1 / 6.2 fps vs 11.2 at kitti scale)."""
+        is itself only cadence, not semantics).  In occupancy mode the
+        flush decision comes from `flush_if_full` — the caller hands it
+        the chunk's own `map_fill` output, fetched in the SAME device_get
+        as the keyframe flags (any extra sync measurably stalled the
+        pipeline at kitti scale)."""
         prev = self.frames
         self.map = cmap
         self.frames += n_frames
@@ -244,17 +247,13 @@ class MapBuilder:
             if (self.frames // self.cfg.flush_every
                     > prev // self.cfg.flush_every):
                 self._flush_active()
-        elif fill is not None:
-            flushed = False
-            if self._occ_future is not None:
-                n = int(jax.device_get(self._occ_future))
-                if n >= self.cfg.flush_frac * self.map.mask.shape[0]:
-                    self._flush_active()
-                    flushed = True
-            # a pre-flush count must not re-trigger on the emptied bank
-            self._occ_future = None if flushed else fill
-        else:
-            self._maybe_flush()
+
+    def flush_if_full(self, n_points: int) -> None:
+        """Occupancy-mode flush decision from an already-fetched count."""
+        if self.cfg.flush_every > 0:
+            return
+        if n_points >= self.cfg.flush_frac * self.map.mask.shape[0]:
+            self._flush_active()
 
     def save_ply(self, path: str) -> int:
         m = np.asarray(self.map.mask)

@@ -391,26 +391,32 @@ class SlamSystem:
                                             self.correction.q)
             (self.lidar.state, self.tracker.state,
              self.estimator.state, self._fkey) = fst2
-        if self.mapper is not None:
-            F = int(np.shape(outs["pose_t"])[0])
-            self.mapper.absorb_chunk(cmap2, F,
-                                     fill=outs.pop("map_fill", None))
-        outs.pop("map_fill", None)
+        fill = outs.pop("map_fill", None)
         F = int(np.shape(outs["pose_t"])[0])
+        if self.mapper is not None:
+            self.mapper.absorb_chunk(cmap2, F)
 
         for i in range(F):
             self._raw_poses.append(Pose(outs["pose_t"][i],
                                         outs["pose_q"][i]))
         if self.loop is not None:
             with self.timer.stage("loop"):
-                kf, init, ccam_t = jax.device_get(
+                # ONE device_get covers the lane flags AND the map
+                # occupancy — a separate occupancy sync measurably stalled
+                # the queued loop programs (6.6 vs 11 fps at kitti scale)
+                kf, init, ccam_t, n_fill = jax.device_get(
                     (outs["is_keyframe"], outs["initialized"],
-                     outs["ccam_t"]))
+                     outs["ccam_t"],
+                     fill if fill is not None else jnp.zeros(())))
+                if self.mapper is not None and fill is not None:
+                    self.mapper.flush_if_full(int(n_fill))
                 for i in range(F):
                     if kf[i] and init[i]:
                         self._loop_lane_chunk(outs, frames, i,
                                               t0 + i * dt, ccam_t[i],
                                               self.frame_idx + i)
+        elif self.mapper is not None and fill is not None:
+            self.mapper.flush_if_full(int(jax.device_get(fill)))
         self.frame_idx += F
         outs["loops_applied"] = applied
         return outs
